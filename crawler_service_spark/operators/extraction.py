@@ -1,0 +1,62 @@
+"""Fetch-stage extraction: outlinks + byte-exact text.
+
+The reference's "fetch" is a directory listing + per-entry metadata build inside
+worker threads / funcX batches (crawlers/globus_base_preserved.py:271-351,
+crawlers/local_funcx.py:122-169). Here the fetch result is the ``pages`` table
+row; extraction splits into:
+
+- **link extraction** — JVM-side ``regexp_extract_all`` over the html bytes
+  (whole-stage codegen; one input row -> many link rows via posexplode, the
+  UDTF shape of the reference's funcX ``{'metadata': [...], 'next_dirs': [...]}``
+  return, crawlers/local_funcx.py:99-119);
+- **text extraction** — a vectorized Arrow/pandas UDF (never per-row Python)
+  whose output must be byte-identical to the stored ``text`` ground truth
+  (BASELINE.json input_hint). The rule is fixed: title + "\\n" + first <p>.
+
+The decompress-recursion of the reference (legacy/decompressor.py:13-75 — unzip
+then re-scan children) maps to frontier re-entry: extracted links simply become
+next-iteration frontier rows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+HREF_PATTERN = r'href="([^"]+)"'
+
+
+def extract_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """One row per (page, link_idx, href), in document order."""
+    hrefs = F.regexp_extract_all(
+        F.col(html_col).cast("string"), F.lit(HREF_PATTERN), F.lit(1)
+    )
+    return pages.select(
+        "*", F.posexplode(hrefs).alias("link_idx", "href")
+    ).drop(html_col)
+
+
+@pandas_udf(T.StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    """Vectorized extraction: '<title>…</title>' + '\\n' + first '<p>…</p>'.
+
+    Pure pandas str ops on the whole Arrow batch; deterministic and
+    byte-identical to the fixture's stored ``text`` (tests enforce it).
+    """
+    s = html.str.decode("utf-8")
+    title = s.str.extract(r"<title>(.*?)</title>", expand=False).fillna("")
+    para = s.str.extract(r"<p>(.*?)</p>", expand=False).fillna("")
+    return title + "\n" + para
+
+
+def extract_text_py(html: bytes) -> str:
+    """Pure-Python twin of ``extract_text`` for the oracle crawler."""
+    import re
+
+    s = html.decode("utf-8")
+    mt = re.search(r"<title>(.*?)</title>", s)
+    mp = re.search(r"<p>(.*?)</p>", s)
+    return (mt.group(1) if mt else "") + "\n" + (mp.group(1) if mp else "")

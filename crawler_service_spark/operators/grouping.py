@@ -1,0 +1,101 @@
+"""Family grouping + extraction-job emission (byte-stable JSON envelopes).
+
+Re-expresses the reference's grouper/family pipeline:
+- files sharing a directory form a family; each group inside carries a parser
+  (MatIOGrouper/SimpleExtensionGrouper call sites,
+  crawlers/globus_base_preserved.py:225,360-409; crawlers/local_posix.py:206-226);
+- families are shipped as ``{"Id": seq, "MessageBody": json.dumps(family)}``
+  SQS envelopes (crawlers/globus_base_preserved.py:408-409).
+
+Here: ``groupBy(crawl_id, base_url)`` + ``collect_list(struct(...))`` with
+deterministic in-array ordering (``sort_array`` over structs whose first field
+is the path), parser chosen per extension class, and ``payload_json`` built by
+``to_json`` over a struct whose fields are declared in sorted-key order — so
+the JSON bytes are identical across runs and cluster sizes ("emits
+extraction-job metadata exactly as the reference" contract).
+
+``family_id`` is a deterministic hash (never uuid4 — reference uses uuid4 at
+crawlers/globus_base_preserved.py:189-190, which would break idempotent
+iteration re-runs); ``family_seq`` is a distributed global enumeration by
+(iteration, first member seq).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.urls import ext_class_col, extension_col
+from ..plans import with_global_seq
+
+# extension class -> parser, mirroring the reference's grouper strategy surface
+CLASS_PARSER = {
+    "text": "text_parser",
+    "tabular": "tabular_parser",
+    "images": "image_parser",
+    "compressed": "decompressor",
+    "other": "generic_parser",
+}
+
+
+def emit_extraction_jobs(
+    fetched: DataFrame, iteration: int, seq_start: int = 0
+) -> DataFrame:
+    """Build extraction_jobs rows from this iteration's fetched pages.
+
+    ``fetched`` needs columns (crawl_id, url, seq, html). Output schema follows
+    FIXTURES.md §5.
+    """
+    parser_map = F.create_map(*[F.lit(x) for kv in CLASS_PARSER.items() for x in kv])
+    files = fetched.select(
+        "crawl_id",
+        "seq",
+        F.col("url").alias("path"),
+        F.length("html").cast("long").alias("size"),
+        extension_col("url").alias("extension"),
+        F.regexp_extract("url", r"^(.*)/[^/]*$", 1).alias("base_url"),
+    ).withColumn("parser", parser_map[ext_class_col("extension")])
+
+    fams = files.groupBy("crawl_id", "base_url", "parser").agg(
+        F.sort_array(
+            F.collect_list(F.struct("path", "size", "extension"))
+        ).alias("files"),
+        F.min("seq").alias("first_seq"),
+        F.count("*").alias("num_files"),
+        F.sum("size").alias("total_bytes"),
+    )
+    fams = with_global_seq(
+        fams,
+        [F.col("first_seq").asc()],
+        seq_col="family_seq",
+        start=seq_start,
+    )
+    fams = fams.withColumn(
+        "family_id",
+        F.format_string(
+            "fam-%016x",
+            F.abs(F.xxhash64("crawl_id", "base_url", "parser", F.lit(iteration))),
+        ),
+    ).withColumn("iteration", F.lit(iteration))
+
+    # payload struct fields in sorted-key order => byte-stable to_json output
+    payload = F.struct(
+        F.col("base_url").alias("base_url"),
+        F.col("crawl_id").alias("crawl_id"),
+        F.col("family_id").alias("family_id"),
+        F.col("files").alias("files"),
+        F.struct(
+            F.col("num_files").alias("num_files"),
+            F.col("parser").alias("parser"),
+            F.col("total_bytes").alias("total_bytes"),
+        ).alias("group"),
+    )
+    return fams.select(
+        "crawl_id",
+        "family_id",
+        "family_seq",
+        "iteration",
+        "files",
+        "parser",
+        F.to_json(payload).alias("payload_json"),
+    )

@@ -1,0 +1,112 @@
+"""ManifestCatalog — Iceberg-semantics table storage on plain Parquet.
+
+The sandbox has no Iceberg runtime jars, so the engine ships a minimal catalog
+with the three Iceberg properties the design depends on, behind the same call
+shapes (``append`` / ``overwrite`` / snapshot reads) so a real Iceberg catalog
+(``df.writeTo(tbl).append()``, ``VERSION AS OF``) is a drop-in swap on a cluster:
+
+1. **Atomic commits** — data files are written to a per-commit directory, then a
+   tiny JSON manifest is ``os.rename``d into place (atomic on POSIX). Readers
+   only ever see fully-committed manifests. This replaces the reference's
+   receive/delete-visibility dance on SQS (application.py:202-245) and its
+   Postgres status flips (crawlers/globus_base_preserved.py:109-114).
+2. **Snapshot isolation / time travel** — ``read(table, upto=commit_id)``
+   replays manifests only up to a named commit, so iteration *k* of the crawl
+   always reads state exactly as of iteration *k-1* even if later commits
+   landed before a crash. This is what makes every iteration a pure,
+   re-runnable function of the previous snapshot.
+3. **Idempotent commits** — a commit with an already-present ``commit_id`` is a
+   no-op, so re-running a crashed iteration converges instead of duplicating.
+
+Data files stay Parquet (columnar, predicate-pushdown-able); manifests are tiny
+driver-side JSON, never data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ManifestCatalog:
+    def __init__(self, root: str, spark: SparkSession):
+        self.root = root
+        self.spark = spark
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------------ paths
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest_dir(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "_manifests")
+
+    def _manifests(self, table: str) -> list[str]:
+        d = self._manifest_dir(table)
+        if not os.path.isdir(d):
+            return []
+        return sorted(f for f in os.listdir(d) if f.endswith(".json"))
+
+    # ---------------------------------------------------------------- commits
+    def has_commit(self, table: str, commit_id: str) -> bool:
+        return any(m.endswith(f"-{commit_id}.json") for m in self._manifests(table))
+
+    def commit(
+        self, table: str, df: DataFrame, commit_id: str, mode: str = "append"
+    ) -> bool:
+        """Write ``df`` as one atomic commit. Returns False if the commit_id was
+        already present (idempotent re-run)."""
+        assert mode in ("append", "overwrite")
+        if self.has_commit(table, commit_id):
+            return False
+        data_rel = os.path.join("data", commit_id)
+        data_abs = os.path.join(self._table_dir(table), data_rel)
+        # a crashed earlier attempt may have left partial data; overwrite it
+        df.write.mode("overwrite").parquet(data_abs)
+        mdir = self._manifest_dir(table)
+        os.makedirs(mdir, exist_ok=True)
+        seq = len(self._manifests(table))
+        manifest = {"seq": seq, "commit_id": commit_id, "mode": mode, "data": data_rel}
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, os.path.join(mdir, f"{seq:06d}-{commit_id}.json"))
+        return True
+
+    # ------------------------------------------------------------------ reads
+    def _active_dirs(self, table: str, upto: str | None = None) -> list[str]:
+        dirs: list[str] = []
+        for name in self._manifests(table):
+            with open(os.path.join(self._manifest_dir(table), name)) as f:
+                m = json.load(f)
+            if m["mode"] == "overwrite":
+                dirs = []
+            dirs.append(os.path.join(self._table_dir(table), m["data"]))
+            if upto is not None and m["commit_id"] == upto:
+                return dirs
+        if upto is not None:
+            return []  # requested snapshot not committed yet
+        return dirs
+
+    def exists(self, table: str) -> bool:
+        return bool(self._manifests(table))
+
+    def read(self, table: str, upto: str | None = None) -> DataFrame | None:
+        dirs = self._active_dirs(table, upto)
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs)
+
+    def commits(self, table: str) -> list[str]:
+        out = []
+        for name in self._manifests(table):
+            with open(os.path.join(self._manifest_dir(table), name)) as f:
+                out.append(json.load(f)["commit_id"])
+        return out
+
+    def drop(self, table: str) -> None:
+        shutil.rmtree(self._table_dir(table), ignore_errors=True)

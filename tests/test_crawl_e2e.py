@@ -1,0 +1,94 @@
+"""End-to-end parity: Spark engine ≡ pure-Python oracle on the same fixture.
+
+The three BASELINE.json correctness gates:
+  (a) identical crawl ordering,
+  (b) identical final URL-seen set,
+  (c) byte-identical extracted text per url.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_service_spark.engine import CrawlConfig, CrawlEngine
+from tests.oracle import load_fixture, oracle_crawl
+
+ITER_S = 10.0
+CAP = None
+
+
+@pytest.fixture(scope="module")
+def oracle_result(small_fixture):
+    pages, seeds, robots = load_fixture(small_fixture)
+    return oracle_crawl(pages, seeds, robots, iteration_seconds=ITER_S, global_cap=CAP)
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, small_fixture, tmp_path_factory):
+    wd = tmp_path_factory.mktemp("crawl-wd")
+    eng = CrawlEngine(
+        spark,
+        pages=spark.read.parquet(small_fixture["pages"]),
+        robots=spark.read.parquet(small_fixture["robots_rules"]),
+        workdir=str(wd),
+        config=CrawlConfig(iteration_seconds=ITER_S, global_cap=CAP, max_iterations=200),
+    )
+    stats = eng.run(seeds=spark.read.parquet(small_fixture["seeds"]))
+    return eng, stats
+
+
+def test_crawl_completes(engine_run):
+    _, stats = engine_run
+    assert stats and stats[-1]["status"] == "complete"
+
+
+def test_seen_set_matches_oracle(engine_run, oracle_result):
+    eng, _ = engine_run
+    seen = {r["url"] for r in eng.catalog.read("seen").select("url").collect()}
+    assert seen == oracle_result.seen
+
+
+def test_crawl_order_matches_oracle(engine_run, oracle_result):
+    eng, _ = engine_run
+    rows = (
+        eng.catalog.read("crawl_order")
+        .orderBy("iteration", "depth", F.desc("priority"), "seq")
+        .select("iteration", "seq", "depth", "url")
+        .collect()
+    )
+    got = [(r["iteration"], r["seq"], r["depth"], r["url"]) for r in rows]
+    assert got == oracle_result.order
+
+
+def test_extracted_text_byte_identical(engine_run, small_fixture, oracle_result):
+    eng, _ = engine_run
+    # engine text vs the stored ground-truth text column, per url
+    stored = pq.read_table(small_fixture["pages"], columns=["url", "text"])
+    truth = dict(zip(stored["url"].to_pylist(), stored["text"].to_pylist()))
+    out = eng.catalog.read("pages_out").select("url", "text").collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["text"] == truth[r["url"]], r["url"]
+    # and the oracle's independent extraction agrees with the stored truth
+    for url, txt in oracle_result.texts.items():
+        assert txt == truth[url]
+
+
+def test_failures_match_oracle(engine_run, oracle_result):
+    eng, _ = engine_run
+    f = eng.catalog.read("fetch_failures")
+    got = {(r["iteration"], r["url"]) for r in f.collect()} if f is not None else set()
+    assert got == set(oracle_result.failures)
+
+
+def test_counters_consistent(engine_run, oracle_result):
+    eng, _ = engine_run
+    st = eng.last_state()
+    assert st["status"] == "complete"
+    assert st["next_seq"] == len(oracle_result.seen)
+    total_sched = (
+        eng.catalog.read("crawl_state").agg(F.sum("scheduled")).collect()[0][0]
+    )
+    assert total_sched == len(oracle_result.order)

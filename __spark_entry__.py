@@ -1,10 +1,22 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every SQL-expressible operator from SURVEY.md §2 (plus the training-data
+pipeline operators: dedup / similarity / text analysis / multimodal) is
+registered in ``queries()`` with a DuckDB twin in ``oracle_sql()``.
+
+Cross-engine parity rules used throughout (see operator docstrings):
+- aggregates over money-like doubles go through ``decimal`` casts (exact,
+  order-independent) instead of float sums;
+- ratio-like scores use integer arithmetic (``div(1000*a, b)``);
+- the shared 32-bit hash is ``int(md5(s)[:8], 16)`` — identical in Spark
+  (``conv(substring(md5(s),1,8),16,10)``) and DuckDB
+  (``('0x'||substr(md5(s),1,8))::BIGINT``);
+- embedding similarity is computed on integer-quantized vectors
+  (``round(x*1000)``), so dot products are exact in both engines (embeddings
+  are L2-normalized, so dot*1e-6 == cosine).
+
+Ops with no SQL expression (numpy LSH planes, byte histograms) have no oracle
+entry -> the driver records its weaker rows-only check for them.
 """
 
 from __future__ import annotations
@@ -12,27 +24,627 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crawler_service_spark.functions.urls import ext_class_col, extension_col
+from crawler_service_spark.operators import docdedup, multimodal, similarity, textquality
+
+SF001 = "/root/testdata/sf0.001"
+
+# shared literals
+BAD_PREFIXES = ["key agg", "batch window", "small fast"]
+JACCARD_THRESHOLD = 300           # permille
+MINHASH_HASHES, MINHASH_BANDS = 16, 4
+DOT_TOPK, DOT_PAIR_THRESHOLD = 20, 450_000   # quantized-dot scale: 1e6 == cos 1.0
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, prec=12, scale=2):
+    return F.col(col).cast(f"decimal({prec},{scale})") if isinstance(col, str) else col.cast(f"decimal({prec},{scale})")
+
+
+# --------------------------------------------------------------------------- #
+# flagship
+# --------------------------------------------------------------------------- #
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H-Q1-style pricing summary on sf0.001 (SURVEY §2.4 A1-A3)."""
+    return _q1_pricing_summary(spark, SF001)
+
+
+# --------------------------------------------------------------------------- #
+# TPC-H-flavored operator queries (SURVEY.md §2 inventory)
+# --------------------------------------------------------------------------- #
+
+
+def _q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    price, disc, tax = _dec("l_extendedprice"), _dec("l_discount"), _dec("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") < "2000-01-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc)).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc) * (F.lit(1).cast("decimal(12,2)") + tax))
+            .cast("decimal(38,6)").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _s1_scan_filter(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") < "1998-01-01") & (F.col("l_quantity") > 25))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _f1_route_split(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.select(
+            F.when(F.col("event_type").isin("click", "view"), "engagement")
+            .when(F.col("event_type") == "purchase", "conversion")
+            .otherwise("other")
+            .alias("event_class")
+        )
+        .groupBy("event_class")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _j1_broadcast_enrich(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total_price"),
+        )
+    )
+
+
+def _j3_status_stats(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    stats = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total_price"),
+    )
+    return c.join(stats, c["c_custkey"] == stats["o_custkey"]).select(
+        "c_custkey", "c_name", "c_mktsegment", "n_orders", "total_price"
+    )
+
+
+def _j4_prefix_theta_antijoin(spark, sf):
+    d = _t(spark, sf, "documents")
+    rules = spark.createDataFrame([(p,) for p in BAD_PREFIXES], "prefix string")
+    kept = d.join(
+        F.broadcast(rules), d["text"].startswith(F.col("prefix")), "left_anti"
+    )
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
+def _j5_seen_antijoin(spark, sf):
+    li, p = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    big = p.filter(F.col("p_size") > 40).select("p_partkey")
+    return (
+        li.join(big, li["l_partkey"] == big["p_partkey"], "left_anti")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.countDistinct("l_partkey").alias("n_parts"))
+    )
+
+
+def _w1_politeness_rank(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def _l1_topk(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .limit(50)
+    )
+
+
+def _u1_union_distinct(spark, sf):
+    ev = _t(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "view").select("user_id")
+    return a.union(b).distinct()
+
+
+def _u3_except(spark, sf):
+    ev = _t(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return a.exceptAll(b)
+
+
+def _c1_extension_class(spark, sf):
+    d = _t(spark, sf, "documents")
+    fname = F.concat(
+        F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, ".txt")
+        .when(F.col("doc_id") % 3 == 1, ".csv")
+        .otherwise(""),
+    )
+    named = d.select("doc_id", fname.alias("fname"))
+    return named.select(
+        "doc_id",
+        extension_col("fname").alias("ext"),
+        ext_class_col(extension_col("fname")).alias("file_class"),
+    )
+
+
+def _c4_hash(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("text_md5")
+    )
+
+
+def _c9_json_extract(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+def _a7_distinct_parts(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
+    )
+
+
+def _a8_collect_sorted_list(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias("orderkeys")
+    )
+
+
+def _g4_family_envelope(spark, sf):
+    d = _t(spark, sf, "documents")
+    fams = d.groupBy("source").agg(
+        F.count("*").alias("n_files"), F.sum("n_chars").alias("total_chars")
+    )
+    payload = F.concat(
+        F.lit('{"n_files":'), F.col("n_files").cast("string"),
+        F.lit(',"source":"'), F.col("source"),
+        F.lit('","total_chars":'), F.col("total_chars").cast("string"), F.lit("}"),
+    )
+    return fams.select("source", "n_files", "total_chars", payload.alias("payload_json"))
+
+
+# --------------------------------------------------------------------------- #
+# training-data pipeline queries (documents / embeddings)
+# --------------------------------------------------------------------------- #
+
+
+def _dedup_exact(spark, sf):
+    return docdedup.exact_dedup(_t(spark, sf, "documents"))
+
+
+def _dedup_ngram_jaccard(spark, sf):
+    return docdedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), n=3, threshold_permille=JACCARD_THRESHOLD
+    )
+
+
+def _dedup_minhash_lsh(spark, sf):
+    return docdedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS
+    )
+
+
+def _dedup_simhash(spark, sf):
+    return docdedup.simhash(_t(spark, sf, "documents"))
+
+
+def _text_quality(spark, sf):
+    return textquality.quality_metrics(_t(spark, sf, "documents"))
+
+
+def _text_langid(spark, sf):
+    return textquality.langid(_t(spark, sf, "documents"))
+
+
+def _text_fingerprint(spark, sf):
+    return textquality.fingerprint(_t(spark, sf, "documents"))
+
+
+def _text_token_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", textquality.token_count_col("text").cast("long").alias("token_count"))
+
+
+def _quantized(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * 1000, 0).cast("long"),
+    )
+    return e.select("vec_id", q.alias("qv"))
+
+
+def _int_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def _ann_dot_topk(spark, sf):
+    q = _quantized(spark, sf)
+    qvec = q.filter(F.col("vec_id") == 0).collect()[0]["qv"]
+    lit_q = F.array(*[F.lit(int(v)) for v in qvec])
+    scored = q.select("vec_id", _int_dot(F.col("qv"), lit_q).alias("dot"))
+    return scored.orderBy(F.col("dot").desc(), F.col("vec_id").asc()).limit(DOT_TOPK)
+
+
+def _dedup_embedding_pairs(spark, sf):
+    q = _quantized(spark, sf)
+    a = q.select(F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"))
+    b = q.select(F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _int_dot(F.col("qa"), F.col("qb")).alias("dot"))
+        .filter(F.col("dot") >= DOT_PAIR_THRESHOLD)
+    )
+
+
+def _ann_cosine_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return similarity.cosine_topk(e, list(qvec), k=DOT_TOPK)
+
+
+def _ann_lsh_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return similarity.ann_lsh_topk(e, list(qvec), k=10, n_planes=8)
+
+
+def _multimodal_features(spark, sf):
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )
+    return multimodal.extract_byte_features(media)
+
+
+def _multimodal_decode(spark, sf):
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    return multimodal.decode_media(media, fake_decode=True)
+
+
+# --------------------------------------------------------------------------- #
+# registry
+# --------------------------------------------------------------------------- #
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": _q1_pricing_summary,
+        "s1_scan_filter": _s1_scan_filter,
+        "f1_route_split": _f1_route_split,
+        "j1_broadcast_enrich": _j1_broadcast_enrich,
+        "j3_status_stats": _j3_status_stats,
+        "j4_prefix_theta_antijoin": _j4_prefix_theta_antijoin,
+        "j5_seen_antijoin": _j5_seen_antijoin,
+        "w1_politeness_rank": _w1_politeness_rank,
+        "l1_topk": _l1_topk,
+        "u1_union_distinct": _u1_union_distinct,
+        "u3_except": _u3_except,
+        "c1_extension_class": _c1_extension_class,
+        "c4_hash": _c4_hash,
+        "c9_json_extract": _c9_json_extract,
+        "a7_distinct_parts": _a7_distinct_parts,
+        "a8_collect_sorted_list": _a8_collect_sorted_list,
+        "g4_family_envelope": _g4_family_envelope,
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_embedding_pairs": _dedup_embedding_pairs,
+        "text_quality": _text_quality,
+        "text_langid": _text_langid,
+        "text_fingerprint": _text_fingerprint,
+        "text_token_count": _text_token_count,
+        "ann_dot_topk": _ann_dot_topk,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "multimodal_features": _multimodal_features,
+        "multimodal_decode": _multimodal_decode,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# --------------------------------------------------------------------------- #
+# DuckDB oracle twins
+# --------------------------------------------------------------------------- #
+
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_H32 = "('0x' || substr(md5({s}), 1, 8))::BIGINT"
+_SHINGLES = f"""
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+    FROM (SELECT doc_id, {_TOKS} AS t FROM documents),
+         unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    WHERE len(t) >= 3
+"""
+_QUANT = "list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT))"
+
+
+def _langid_sql() -> str:
+    score = {
+        lang: "(" + " + ".join(
+            f"len(list_filter({_TOKS}, x -> x = '{w}'))" for w in words
+        ) + ")::BIGINT"
+        for lang, words in textquality.LANG_MARKERS.items()
+    }
+    return f"""
+        SELECT doc_id,
+               {score['en']} AS score_en, {score['de']} AS score_de,
+               {score['fr']} AS score_fr, {score['es']} AS score_es,
+               CASE
+                 WHEN {score['en']} >= greatest({score['de']}, {score['fr']}, {score['es']}, 1) THEN 'en'
+                 WHEN {score['de']} >= greatest({score['fr']}, {score['es']}, 1) THEN 'de'
+                 WHEN {score['fr']} >= greatest({score['es']}, 1) THEN 'fr'
+                 WHEN {score['es']} >= 1 THEN 'es'
+                 ELSE 'und'
+               END AS pred_lang
+        FROM documents
     """
-    return {}
+
+
+def _simhash_sql() -> str:
+    h = _H32.format(s="tok")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(docdedup.SIMHASH_BITS)
+    )
+    acc = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(docdedup.SIMHASH_BITS)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ), hashed AS (
+            SELECT doc_id, {h} AS h FROM toks
+        ), voted AS (
+            SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({acc} AS BIGINT) AS simhash FROM voted
+    """
+
+
+def _minhash_sql() -> str:
+    rows = MINHASH_HASHES // MINHASH_BANDS
+    mh = ", ".join(
+        "min(" + _H32.format(s=f"'s{i}:' || shingle") + f") AS mh_{i}"
+        for i in range(MINHASH_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '_' || ".join(f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + " AS sig FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+        WITH sh AS ({_SHINGLES}),
+        sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+        buckets AS ({band_rows})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a JOIN buckets b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    quality_stop = " + ".join(
+        f"len(list_filter({_TOKS}, x -> x = '{w}'))"
+        for w in textquality.LANG_MARKERS["en"]
+    )
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(38,6)) AS sum_charge,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "s1_scan_filter": """
+            SELECT l_returnflag, count(*) AS n FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_quantity > 25
+            GROUP BY l_returnflag
+        """,
+        "f1_route_split": """
+            SELECT CASE WHEN event_type IN ('click','view') THEN 'engagement'
+                        WHEN event_type = 'purchase' THEN 'conversion'
+                        ELSE 'other' END AS event_class,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "j1_broadcast_enrich": """
+            SELECT c_nationkey, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey
+        """,
+        "j3_status_stats": """
+            SELECT c_custkey, c_name, c_mktsegment, n_orders, total_price
+            FROM customer JOIN (
+                SELECT o_custkey, count(*) AS n_orders,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_price
+                FROM orders GROUP BY o_custkey
+            ) s ON c_custkey = s.o_custkey
+        """,
+        "j4_prefix_theta_antijoin": f"""
+            SELECT source, count(*) AS n_kept FROM documents
+            WHERE NOT ({" OR ".join(f"text LIKE '{p}%'" for p in BAD_PREFIXES)})
+            GROUP BY source
+        """,
+        "j5_seen_antijoin": """
+            SELECT l_returnflag, count(*) AS n, count(DISTINCT l_partkey) AS n_parts
+            FROM lineitem
+            WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_size > 40)
+            GROUP BY l_returnflag
+        """,
+        "w1_politeness_rank": """
+            SELECT user_id, event_id, rn FROM (
+                SELECT user_id, event_id,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn <= 3
+        """,
+        "l1_topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
+        """,
+        "u1_union_distinct": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            UNION
+            SELECT user_id FROM events WHERE event_type = 'view'
+        """,
+        "u3_except": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "c1_extension_class": """
+            WITH named AS (
+                SELECT doc_id,
+                       source || '/doc_' || CAST(doc_id AS VARCHAR) ||
+                       CASE WHEN doc_id % 3 = 0 THEN '.txt'
+                            WHEN doc_id % 3 = 1 THEN '.csv' ELSE '' END AS fname
+                FROM documents
+            ), exts AS (
+                SELECT doc_id,
+                       CASE WHEN split_part(fname, '/', -1) LIKE '%.%'
+                            THEN lower(split_part(split_part(fname, '/', -1), '.', -1))
+                       END AS ext
+                FROM named
+            )
+            SELECT doc_id, ext,
+                   CASE WHEN ext IN ('txt','md','html','htm','xml','json','rst','tex') THEN 'text'
+                        WHEN ext IN ('csv','tsv','parquet','xls','xlsx','hdf5','h5') THEN 'tabular'
+                        WHEN ext IN ('png','jpg','jpeg','gif','tif','tiff','bmp') THEN 'images'
+                        WHEN ext IN ('zip','tar','gz','tgz','z','7z','bz2') THEN 'compressed'
+                        ELSE 'other' END AS file_class
+            FROM exts
+        """,
+        "c4_hash": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+        "c9_json_extract": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events
+        """,
+        "a7_distinct_parts": """
+            SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY l_suppkey
+        """,
+        "a8_collect_sorted_list": """
+            SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys
+            FROM orders GROUP BY o_custkey
+        """,
+        "g4_family_envelope": """
+            SELECT source, count(*) AS n_files, sum(n_chars) AS total_chars,
+                   '{"n_files":' || CAST(count(*) AS VARCHAR) ||
+                   ',"source":"' || source ||
+                   '","total_chars":' || CAST(sum(n_chars) AS VARCHAR) || '}' AS payload_json
+            FROM documents GROUP BY source
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS ({_SHINGLES}),
+            sizes AS (SELECT doc_id, count(*) AS sh_count FROM sh GROUP BY doc_id),
+            freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+            kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle) WHERE df <= 1000),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   (1000 * inter) // (sa.sh_count + sb.sh_count - inter) AS jaccard_permille
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE (1000 * inter) // (sa.sh_count + sb.sh_count - inter) >= {JACCARD_THRESHOLD}
+        """,
+        "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "dedup_embedding_pairs": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot
+            FROM (SELECT vec_id, {_QUANT} AS qv FROM embeddings) a,
+                 (SELECT vec_id, {_QUANT} AS qv FROM embeddings) b
+            WHERE a.vec_id < b.vec_id
+              AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT) >= {DOT_PAIR_THRESHOLD}
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS char_count,
+                   CAST(len({_TOKS}) AS BIGINT) AS token_count,
+                   CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_count,
+                   CAST({quality_stop} AS BIGINT) AS stopword_count,
+                   CASE WHEN length(text) = 0 THEN 0 ELSE
+                       (1000 * (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))) // length(text)
+                   END AS punct_permille
+            FROM documents
+        """,
+        "text_langid": _langid_sql(),
+        "text_fingerprint": f"""
+            WITH toks AS (
+                SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+                FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+                WHERE len(t) > 0
+            ), hashed AS (
+                SELECT doc_id, i AS posplus1, {_H32.format(s='t[i]')} AS h
+                FROM toks
+            )
+            SELECT doc_id,
+                   CAST(((sum(posplus1 * h) % 2147483648) + 2147483648) % 2147483648 AS BIGINT) AS fingerprint
+            FROM hashed GROUP BY doc_id
+        """,
+        "text_token_count": f"SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS token_count FROM documents",
+        "ann_dot_topk": f"""
+            WITH q AS (SELECT {_QUANT} AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, CAST(list_dot_product({_QUANT}, (SELECT qv FROM q)) AS BIGINT) AS dot
+            FROM embeddings
+            ORDER BY dot DESC, vec_id ASC LIMIT {DOT_TOPK}
+        """,
+    }

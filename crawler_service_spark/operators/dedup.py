@@ -109,9 +109,15 @@ class BloomSeenFilter:
         blobs = self.catalog.read(self.TABLE, upto=upto)
         if blobs is None:
             return candidates.withColumn("maybe_seen", F.lit(False))
+        from pyspark.sql import types as T
+
         m, k = self.m_bits, self.k
         hashed = with_bloom_hashes(candidates, n_buckets=self.n_buckets)
-        out_schema = hashed.drop("__bucket").schema.add("maybe_seen", "boolean", False)
+        # fresh StructType — StructType.add() mutates the cached schema in place
+        out_schema = T.StructType(
+            [f for f in hashed.schema.fields if f.name != "__bucket"]
+            + [T.StructField("maybe_seen", T.BooleanType(), False)]
+        )
 
         def probe(key, cand_pdf: pd.DataFrame, blob_pdf: pd.DataFrame):
             if not len(cand_pdf):

@@ -1,0 +1,171 @@
+"""Document deduplication for training-data pipelines — exact and near-dup.
+
+Five strategies over ``documents(doc_id, text, ...)``, all expressed as
+DataFrame plans (shuffle-conscious; no driver-side loops):
+
+- **exact**: md5(text) hash-groupBy, keep the smallest doc_id per hash. One
+  shuffle on a uniform hash key.
+- **word n-gram shingles + Jaccard**: explode distinct shingles, self-join on
+  shingle to get co-occurrence counts, Jaccard = inter / (|A|+|B|-inter).
+  The shingle join is the scale risk (hot shingles fan out quadratically), so
+  ultra-frequent shingles are dropped first (stopword-shingle cut) — standard
+  practice and bounded fan-out.
+- **MinHash + LSH banding**: per-doc signature of ``num_hashes`` minima of
+  seeded 32-bit hashes over shingles; band the signature, bucket-join on
+  (band, band-signature) so candidate pairs come from equal buckets only —
+  O(n·bands) shuffle instead of O(n²) compare. Candidates then verified with
+  true Jaccard (LSH is the accelerator, verification keeps precision).
+- **SimHash**: 32-bit sign-aggregated token-hash fingerprint per doc
+  (explode + per-bit vote sum + reassemble); equal simhash -> near-dup group.
+- **embedding cosine**: see operators/similarity.py.
+
+Cross-engine hash contract as in textquality.h32 (md5-prefix), so every one of
+these has an exact DuckDB oracle twin in __spark_entry__.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textquality import h32, tokens_col
+
+SIMHASH_BITS = 32
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per distinct text: keeper doc_id + duplicate count."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = tokens_col(text_col)
+    # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]); emit [] for short docs
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold_permille: int = 500,
+    max_shingle_freq: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with Jaccard >= threshold (permille, integer math).
+
+    jaccard_permille = div(1000*inter, |A|+|B|-inter) keeps the output
+    integer-exact for the DuckDB oracle.
+    """
+    sh = shingles(docs, n=n, text_col=text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sh_count"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh = sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sh_count").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sh_count").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("div(1000 * inter, size_a + size_b - inter)").alias("jaccard_permille"),
+        )
+        .filter(F.col("jaccard_permille") >= threshold_permille)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{H-1}): per-doc minima of seeded shingle hashes."""
+    sh = shingles(docs, n=n, text_col=text_col)
+    aggs = [
+        F.min(h32(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs from LSH banding over minhash signatures.
+
+    Each band's sub-signature becomes a bucket key; docs sharing any bucket
+    pair up. The band join shuffles on the (band, signature) key — high
+    cardinality, skew-free — which is what makes this the 10^10-doc path
+    (vs the all-pairs join above).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n, text_col=text_col)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per doc: per-bit majority vote over token hashes."""
+    toks = docs.select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
+    h = toks.withColumn("h", h32("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{bit}")
+        for bit in range(SIMHASH_BITS)
+    ]
+    voted = h.groupBy("doc_id").agg(*votes)
+    acc = F.lit(0).cast("long")
+    for bit in range(SIMHASH_BITS):
+        acc = acc + F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit)).otherwise(0)
+    return voted.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of docs sharing an identical simhash (near-dup clusters)."""
+    return (
+        simhash(docs, text_col=text_col)
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )

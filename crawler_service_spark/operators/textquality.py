@@ -1,0 +1,106 @@
+"""Text-analysis operators for a training-data pipeline over ``documents``.
+
+Everything here is JVM-side built-ins (whole-stage codegen) — no Python in the
+hot path. Outputs are integers or integer-scaled scores (``1000*a DIV b``)
+rather than float ratios, so the DuckDB oracle twin in ``__spark_entry__``
+matches bit-for-bit (float round-tripping differs between engines; integer
+arithmetic does not).
+
+Cross-engine hash contract: ``h32(s) = int(md5(s)[:8], 16)`` — Spark
+``conv(substring(md5(s),1,8),16,10)`` == DuckDB ``('0x'||substr(md5(s),1,8))::BIGINT``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"[^a-z0-9]+"
+
+# marker-word lists for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "las", "que", "y"],
+}
+
+
+def h32(col: Column | str) -> Column:
+    """32-bit md5-prefix hash, reproducible in DuckDB (see module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Lowercased word tokens (empty strings filtered)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(t), TOKEN_SPLIT), lambda x: x != "")
+
+
+def token_count_col(text: Column | str) -> Column:
+    return F.size(tokens_col(text))
+
+
+def _count_occurrences(text: Column, word: str) -> Column:
+    """Exact count of ``word`` among the document's tokens (array filter —
+    JVM higher-order function, same lambda exists in DuckDB)."""
+    return F.size(F.filter(tokens_col(text), lambda x: x == F.lit(word))).cast("long")
+
+
+def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality counters: length, tokens, punctuation, stopwords,
+    and an integer-scaled stopword score (per-mille). Mirrors the heuristics a
+    web-text quality filter runs before training-data selection."""
+    t = F.col(text_col)
+    stop = sum(
+        (_count_occurrences(t, w) for w in LANG_MARKERS["en"]),
+        F.lit(0).cast("long"),
+    )
+    toks = token_count_col(t)
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("char_count"),
+        toks.cast("long").alias("token_count"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?]", "")))
+        .cast("long")
+        .alias("punct_count"),
+        stop.alias("stopword_count"),
+        F.expr(
+            "CASE WHEN length({t}) = 0 THEN 0 ELSE div(1000 * ("
+            "length({t}) - length(regexp_replace({t}, '[.,;:!?]', ''))"
+            "), length({t})) END".format(t=text_col)
+        ).alias("punct_permille"),
+    )
+
+
+def langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: score each language by marker hits per token,
+    pick the argmax (deterministic tie-break: en > de > fr > es > und)."""
+    t = F.col(text_col)
+    scores = {
+        lang: sum(
+            (_count_occurrences(t, w) for w in words), F.lit(0).cast("long")
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    pred = F.lit("und")
+    best = F.lit(0).cast("long")
+    for lang in ["es", "fr", "de", "en"]:  # reverse priority; later wins ties
+        pred = F.when(scores[lang] >= F.greatest(best, F.lit(1)), F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, scores[lang])
+    sel = [F.col("doc_id")]
+    sel += [scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS]
+    sel.append(pred.alias("pred_lang"))
+    return docs.select(*sel)
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive document fingerprint: sum over tokens of
+    ``(pos+1) * h32(token) mod 2^31`` — a rolling-hash-style signature that
+    changes when tokens reorder, computed entirely with explode + sum (scales
+    as a plain aggregation; no UDF)."""
+    toks = docs.select("doc_id", F.posexplode(tokens_col(text_col)).alias("pos", "tok"))
+    return toks.groupBy("doc_id").agg(
+        F.pmod(F.sum((F.col("pos") + 1) * h32("tok")), F.lit(2147483648)).alias("fingerprint")
+    )

@@ -48,7 +48,13 @@ def with_global_seq(
         offsets[pid] = acc
         acc += counts[pid]
 
-    out_schema = part.drop(_PID).schema.add(seq_col, "long", False)
+    from pyspark.sql import types as T
+
+    # fresh StructType — StructType.add() mutates the cached schema in place
+    out_schema = T.StructType(
+        [f for f in part.schema.fields if f.name != _PID]
+        + [T.StructField(seq_col, T.LongType(), False)]
+    )
 
     def stamp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = 0

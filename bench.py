@@ -1,0 +1,164 @@
+"""Benchmark harness (driver contract).
+
+Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+
+1. **frontier crawl throughput** — the BASELINE.json headline metric: a full
+   deterministic crawl over a synthetic Common-Crawl-style pages fixture sized
+   to the scale factor; value = URLs scheduled+deduped / second;
+2. **headline operator queries** from __spark_entry__ at the sf dir;
+3. **scaling evidence** (north rule): the same crawl at local[8] and local[32]
+   on the identical input; efficiency = (tp_4N / tp_N) / 4. Disable with
+   SPARK_GRAFT_BENCH_SCALING=0.
+
+Prints ONE JSON line to stdout; progress goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+# Spark python workers need the package importable (cluster: --py-files)
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+import __spark_entry__ as entrymod
+from crawler_service_spark.engine import CrawlConfig, CrawlEngine
+from crawler_service_spark.fixtures import FixtureSpec, generate_fixture
+from crawler_service_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
+CACHE = os.path.join(REPO, ".cache", "bench")
+
+HEADLINE_QUERIES = [
+    "q1_pricing_summary",
+    "w1_politeness_rank",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "text_quality",
+    "text_langid",
+    "ann_dot_topk",
+    "multimodal_features",
+]
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def sf_of(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(path)))
+    return float(m.group(1)) if m else 0.1
+
+
+def crawl_fixture(sf: float) -> dict[str, str]:
+    n_pages = max(4_000, int(1_200_000 * sf))
+    spec = FixtureSpec(n_pages=n_pages, n_hosts=192, n_seeds=64, seed=42)
+    out = os.path.join(CACHE, f"fixture-{n_pages}")
+    t0 = time.monotonic()
+    paths = generate_fixture(spec, out)
+    log(f"fixture: {n_pages} pages at {out} ({time.monotonic()-t0:.1f}s)")
+    return paths
+
+
+def run_crawl(cpus: int, paths: dict[str, str], tag: str) -> dict:
+    """One full crawl at the given parallelism; returns throughput stats."""
+    spark = get_spark(f"bench-crawl-{tag}", cpus=cpus, shuffle_partitions=cpus)
+    wd = os.path.join(CACHE, f"wd-{tag}")
+    shutil.rmtree(wd, ignore_errors=True)
+    cfg = CrawlConfig(iteration_seconds=2000.0, salt_lanes=8, max_iterations=200, commit_files=8)
+    eng = CrawlEngine(
+        spark,
+        pages=spark.read.parquet(paths["pages"]),
+        robots=spark.read.parquet(paths["robots_rules"]),
+        workdir=wd,
+        config=cfg,
+    )
+    t0 = time.monotonic()
+    stats = eng.run(seeds=spark.read.parquet(paths["seeds"]))
+    wall = time.monotonic() - t0
+    scheduled = sum(s["scheduled"] for s in stats)
+    discovered = sum(s["new_urls"] for s in stats)
+    spark.stop()
+    res = {
+        "cpus": cpus,
+        "iterations": len(stats),
+        "urls_scheduled": scheduled,
+        "urls_discovered_deduped": discovered,
+        "wall_sec": round(wall, 2),
+        "throughput_urls_per_sec": round((scheduled + discovered) / wall, 1),
+    }
+    log(f"crawl[{tag}]: {res}")
+    return res
+
+
+def run_queries(cpus: int, sf_dir: str) -> dict[str, float]:
+    spark = get_spark("bench-queries", cpus=cpus, shuffle_partitions=cpus)
+    qs = entrymod.queries()
+    # warmup: JVM/codegen/Arrow spin-up paid outside the timed region
+    qs["q1_pricing_summary"](spark, sf_dir).collect()
+    out: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        t0 = time.monotonic()
+        n = len(qs[name](spark, sf_dir).collect())
+        out[name] = round(time.monotonic() - t0, 3)
+        log(f"query {name}: {out[name]}s ({n} rows)")
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    os.makedirs(CACHE, exist_ok=True)
+    sf = sf_of(SF_DIR)
+    paths = crawl_fixture(sf)
+
+    result: dict = {"sf": sf, "cpus": CPUS}
+
+    scaling = None
+    if DO_SCALING:
+        n_small = max(2, CPUS // 4)
+        c_small = run_crawl(n_small, paths, f"n{n_small}")
+        c_big = run_crawl(CPUS, paths, f"n{CPUS}")
+        eff = (
+            c_big["throughput_urls_per_sec"]
+            / c_small["throughput_urls_per_sec"]
+            / (CPUS / n_small)
+        )
+        scaling = {
+            "n_cores": n_small,
+            "n4_cores": CPUS,
+            "throughput_n": c_small["throughput_urls_per_sec"],
+            "throughput_4n": c_big["throughput_urls_per_sec"],
+            "efficiency": round(eff, 3),
+        }
+        crawl = c_big
+    else:
+        crawl = run_crawl(CPUS, paths, f"n{CPUS}")
+
+    queries = run_queries(CPUS, SF_DIR)
+
+    result.update(
+        {
+            "metric": "urls_scheduled_deduped_per_sec",
+            "value": crawl["throughput_urls_per_sec"],
+            "unit": "urls/sec",
+            "queries": queries,
+            "crawl": crawl,
+            "scaling": scaling,
+        }
+    )
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -28,10 +28,13 @@ termination = pending-empty, replacing the 10-empty-polls heuristic
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+import pyarrow as pa
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.urls import canonicalize_url_col, host_col, path_col, url_hash_col
@@ -47,6 +50,16 @@ FRONTIER_COLS = [
     "depth", "priority", "seq", "discovered_iter",
 ]
 
+STATE_SCHEMA = pa.schema(
+    [
+        ("crawl_id", pa.string()), ("iteration", pa.int32()), ("status", pa.string()),
+        ("scheduled", pa.int64()), ("fetched", pa.int64()), ("failed", pa.int64()),
+        ("new_urls", pa.int64()), ("frontier_pending", pa.int64()),
+        ("next_seq", pa.int64()), ("families", pa.int64()),
+        ("bytes_crawled", pa.int64()), ("wall_ms", pa.int64()),
+    ]
+)
+
 
 @dataclass
 class CrawlConfig:
@@ -57,7 +70,14 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_buckets: int = 64
     bloom_bits: int = 1 << 17
+    # engage the bloom PROBE only once the seen set is worth it; below this the
+    # exact anti-join alone is cheaper than an extra Python stage. Blobs are
+    # maintained from iteration 0 either way so engagement is seamless.
+    bloom_min_seen: int = 0
     emit_jobs: bool = True
+    # bound output files per commit (small-file compaction for control tables;
+    # None = leave partitioning alone, the petabyte-scale default)
+    commit_files: int | None = None
     max_iterations: int = 10_000
 
 
@@ -92,11 +112,8 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------ state
     def last_state(self) -> dict | None:
-        st = self.catalog.read("crawl_state")
-        if st is None:
-            return None
-        row = st.orderBy(F.desc("iteration")).limit(1).collect()
-        return row[0].asDict() if row else None
+        rows = self.catalog.read_last_commit_rows("crawl_state")
+        return rows[0] if rows else None
 
     def _empty(self, schema: str) -> DataFrame:
         return self.spark.createDataFrame([], schema)
@@ -125,7 +142,7 @@ class CrawlEngine:
             F.lit(0).alias("depth"), F.lit(0).alias("priority"),
             "seq", F.lit(0).alias("discovered_iter"),
         )
-        frontier = frontier.localCheckpoint(eager=True)
+        frontier = frontier.localCheckpoint(eager=False)
         n = frontier.count()
         self.catalog.commit("frontier_pending", frontier, "pending-iter-0", mode="overwrite")
         self.catalog.commit(
@@ -135,18 +152,49 @@ class CrawlEngine:
         )
         if self.bloom:
             self.bloom.update(frontier.select("url"), "bloom-iter-0")
-        state = self.spark.createDataFrame(
-            [(self._crawl_id(frontier), 0, "running", 0, 0, 0, n, n, int(n), 0, 0, 0)],
-            "crawl_id string, iteration int, status string, scheduled long, "
-            "fetched long, failed long, new_urls long, frontier_pending long, "
-            "next_seq long, families long, bytes_crawled long, wall_ms long",
+        self.catalog.commit_rows(
+            "crawl_state",
+            [dict(
+                crawl_id=self._crawl_id(frontier), iteration=0, status="running",
+                scheduled=0, fetched=0, failed=0, new_urls=n, frontier_pending=n,
+                next_seq=int(n), families=0, bytes_crawled=0, wall_ms=0,
+            )],
+            STATE_SCHEMA,
+            "state-iter-0",
         )
-        self.catalog.commit("crawl_state", state, "state-iter-0")
 
     @staticmethod
     def _crawl_id(df: DataFrame) -> str:
         r = df.select("crawl_id").limit(1).collect()
         return r[0][0] if r else "crawl-unknown"
+
+    _TRACE = os.environ.get("SPARK_CRAWL_TRACE") == "1"
+
+    def _trace(self, label: str, t0: float) -> float:
+        t = time.monotonic()
+        if self._TRACE:
+            print(f"      [{label}] {t - t0:.2f}s", file=sys.stderr, flush=True)
+        return t
+
+    def _commit_observed(
+        self, table: str, df: DataFrame, commit_id: str, metrics: dict,
+        mode: str = "append", coalesce: int | None = None,
+    ) -> dict:
+        """Commit with counters observed ON the write action itself (no extra
+        count jobs — reference A3/A5 counters via ``df.observe``). Falls back
+        to an aggregate over the committed snapshot on idempotent re-runs."""
+        cols = [c.alias(n) for n, c in metrics.items()]
+        obs = Observation()
+        committed = self.catalog.commit(
+            table, df.observe(obs, *cols), commit_id, mode=mode, coalesce=coalesce
+        )
+        if committed:
+            return {n: (v or 0) for n, v in obs.get.items()}
+        snap = self.catalog.read_commit(table, commit_id)
+        if snap is None:
+            return {n: 0 for n in metrics}
+        row = snap.agg(*cols).collect()[0].asDict()
+        return {n: (v or 0) for n, v in row.items()}
 
     # -------------------------------------------------------------- iteration
     def run_iteration(self, k: int) -> dict:
@@ -158,17 +206,23 @@ class CrawlEngine:
         seen = self.catalog.read("seen", upto=f"seen-{prev}")
         st = self.last_state()
         next_seq = int(st["next_seq"])
-        fam_seq = int(st["families"])
+        fam_seq = int(st["families"])  # cumulative family count (metrics only)
 
         budgets = politeness.host_budgets(self.robots, cfg.iteration_seconds)
         scheduled = politeness.schedule(
             pending, budgets, cfg.iteration_seconds,
             default_delay_s=cfg.default_delay_s,
             global_cap=cfg.global_cap, salt_lanes=cfg.salt_lanes,
-        ).localCheckpoint(eager=True)
+        )
 
-        fetched = scheduled.join(self.pages, on="url", how="left")
-        ok = fetched.filter(F.col("html").isNotNull()).localCheckpoint(eager=True)
+        # SINGLE upstream materialization: schedule window + fetch join pinned
+        # once; every downstream branch (pages_out, failures, links, order,
+        # pending subtraction) re-reads these blocks instead of re-executing.
+        fetched = (
+            scheduled.join(self.pages.drop("text", "warc_ts"), on="url", how="left")
+            .localCheckpoint(eager=False)  # first consumer materializes; rest read blocks
+        )
+        ok = fetched.filter(F.col("html").isNotNull())
         failures = fetched.filter(F.col("html").isNull()).select(
             "crawl_id", F.lit(k).alias("iteration"), "url", F.lit("not_found").alias("reason")
         )
@@ -211,7 +265,8 @@ class CrawlEngine:
         firsts = cand.groupBy("crawl_id", "url", "url_hash", "host", "path").agg(
             F.min(okey).alias("okey")
         )
-        new = dedup_new_urls(firsts, seen, self.bloom, bloom_upto=f"bloom-{prev}")
+        probe_bloom = self.bloom if next_seq >= cfg.bloom_min_seen else None
+        new = dedup_new_urls(firsts, seen, probe_bloom, bloom_upto=f"bloom-{prev}")
         new = new.select(
             "crawl_id", "url", "url_hash", "host", "path",
             (F.col("okey.pd") + 1).alias("depth"),
@@ -219,6 +274,9 @@ class CrawlEngine:
             F.col("okey.pd").alias("_pd"), F.col("okey.pnp").alias("_pnp"),
             F.col("okey.ps").alias("_ps"), F.col("okey.li").alias("_li"),
         )
+        # with_global_seq pins its own partitioning (localCheckpoint inside);
+        # the stamp map is deterministic, so downstream branches may re-run it
+        # cheaply off those blocks — no second checkpoint needed.
         new = with_global_seq(
             new,
             [F.col("_pd").asc(), F.col("_pnp").asc(), F.col("_ps").asc(), F.col("_li").asc()],
@@ -228,60 +286,79 @@ class CrawlEngine:
         new_frontier = new.select(
             *[c for c in FRONTIER_COLS if c != "discovered_iter"],
             F.lit(k).alias("discovered_iter"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # stamp map runs once, 4 consumers share
 
         next_pending = pending.join(
-            scheduled.select("url"), on="url", how="left_anti"
+            fetched.select("url"), on="url", how="left_anti"
         ).select(*FRONTIER_COLS).unionByName(new_frontier.select(*FRONTIER_COLS))
-        next_pending = next_pending.localCheckpoint(eager=True)
 
-        # ---- metrics (before commits so state row is complete) ----
-        n_sched = scheduled.count()
-        n_ok = ok.count()
-        n_new = new_frontier.count()
-        n_pending = next_pending.count()
-        bytes_crawled = ok.agg(F.sum(F.length("html"))).collect()[0][0] or 0
-
-        # ---- commits (idempotent; crawl_state last = checkpoint marker) ----
+        # ---- commits; counters observed on the write actions themselves ----
         it = f"iter-{k}"
-        self.catalog.commit("pages_out", pages_out, f"pages-{it}")
-        self.catalog.commit("fetch_failures", failures, f"fail-{it}")
-        n_fams = 0
-        if cfg.emit_jobs:
-            jobs = emit_extraction_jobs(
-                ok.select("crawl_id", "url", "seq", "html"), k, seq_start=fam_seq
-            ).localCheckpoint(eager=True)
-            n_fams = jobs.count()
-            self.catalog.commit("extraction_jobs", jobs, f"jobs-{it}")
-        self.catalog.commit(
-            "seen",
-            new_frontier.select("url_hash", "url", "host", "depth", "seq", "discovered_iter"),
-            f"seen-{it}",
-        )
-        if self.bloom:
-            self.bloom.update(new_frontier.select("url"), f"bloom-{it}", upto=f"bloom-{prev}")
-        self.catalog.commit("frontier_pending", next_pending, f"pending-{it}", mode="overwrite")
-        self.catalog.commit(
+        tt = self._trace("pre", t0)
+        m_order = self._commit_observed(
             "crawl_order",
-            scheduled.select(
+            fetched.select(
                 "crawl_id", F.lit(k).alias("iteration"),
                 "seq", "depth", "priority", "url", "host",
             ),
             f"order-{it}",
+            {"n_sched": F.count(F.lit(1))},
+            coalesce=cfg.commit_files,
         )
+        tt = self._trace("order(materialize fetch)", tt)
+        m_pages = self._commit_observed(
+            "pages_out", pages_out, f"pages-{it}",
+            {"n_ok": F.count(F.lit(1)), "bytes": F.sum("size")},
+            coalesce=cfg.commit_files,
+        )
+        tt = self._trace("pages_out(text udf)", tt)
+        self.catalog.commit("fetch_failures", failures, f"fail-{it}", coalesce=cfg.commit_files)
+        tt = self._trace("failures", tt)
+        m_jobs = {"n_fams": 0}
+        if cfg.emit_jobs:
+            jobs = emit_extraction_jobs(
+                ok.select("crawl_id", "url", "seq", "html"), k
+            )
+            m_jobs = self._commit_observed(
+                "extraction_jobs", jobs, f"jobs-{it}", {"n_fams": F.count(F.lit(1))},
+                coalesce=cfg.commit_files,
+            )
+        tt = self._trace("jobs", tt)
+        m_seen = self._commit_observed(
+            "seen",
+            new_frontier.select("url_hash", "url", "host", "depth", "seq", "discovered_iter"),
+            f"seen-{it}",
+            {"n_new": F.count(F.lit(1))},
+            coalesce=cfg.commit_files,
+        )
+        tt = self._trace("seen(cand+dedup+stamp)", tt)
+        if self.bloom:
+            self.bloom.update(new_frontier.select("url"), f"bloom-{it}", upto=f"bloom-{prev}")
+        tt = self._trace("bloom", tt)
+        m_pend = self._commit_observed(
+            "frontier_pending", next_pending, f"pending-{it}",
+            {"n_pending": F.count(F.lit(1))}, mode="overwrite",
+            coalesce=cfg.commit_files,
+        )
+
+        tt = self._trace("pending", tt)
+        n_sched, n_ok = int(m_order["n_sched"]), int(m_pages["n_ok"])
+        n_new, n_pending = int(m_seen["n_new"]), int(m_pend["n_pending"])
         status = "running" if n_pending > 0 else "complete"
         wall_ms = int((time.monotonic() - t0) * 1000)
-        state = self.spark.createDataFrame(
-            [(
-                str(st["crawl_id"]), k, status, n_sched, n_ok, n_sched - n_ok,
-                n_new, n_pending, next_seq + n_new, fam_seq + n_fams,
-                int(bytes_crawled), wall_ms,
+        self.catalog.commit_rows(
+            "crawl_state",
+            [dict(
+                crawl_id=str(st["crawl_id"]), iteration=k, status=status,
+                scheduled=n_sched, fetched=n_ok, failed=n_sched - n_ok,
+                new_urls=n_new, frontier_pending=n_pending,
+                next_seq=next_seq + n_new, families=fam_seq + int(m_jobs["n_fams"]),
+                bytes_crawled=int(m_pages["bytes"]), wall_ms=wall_ms,
             )],
-            "crawl_id string, iteration int, status string, scheduled long, "
-            "fetched long, failed long, new_urls long, frontier_pending long, "
-            "next_seq long, families long, bytes_crawled long, wall_ms long",
+            STATE_SCHEMA,
+            f"state-{it}",
         )
-        self.catalog.commit("crawl_state", state, f"state-{it}")
+        fetched.unpersist()
         return {
             "iteration": k, "scheduled": n_sched, "fetched": n_ok,
             "new_urls": n_new, "pending": n_pending, "status": status,

@@ -16,8 +16,9 @@ extraction-job metadata exactly as the reference" contract).
 
 ``family_id`` is a deterministic hash (never uuid4 — reference uses uuid4 at
 crawlers/globus_base_preserved.py:189-190, which would break idempotent
-iteration re-runs); ``family_seq`` is a distributed global enumeration by
-(iteration, first member seq).
+iteration re-runs); ``family_seq`` is the first (minimum) member ``seq`` —
+unique (families partition the scheduled pages) and monotone in emission
+order, with no extra enumeration pass.
 """
 
 from __future__ import annotations
@@ -26,7 +27,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.urls import ext_class_col, extension_col
-from ..plans import with_global_seq
 
 # extension class -> parser, mirroring the reference's grouper strategy surface
 CLASS_PARSER = {
@@ -38,9 +38,7 @@ CLASS_PARSER = {
 }
 
 
-def emit_extraction_jobs(
-    fetched: DataFrame, iteration: int, seq_start: int = 0
-) -> DataFrame:
+def emit_extraction_jobs(fetched: DataFrame, iteration: int) -> DataFrame:
     """Build extraction_jobs rows from this iteration's fetched pages.
 
     ``fetched`` needs columns (crawl_id, url, seq, html). Output schema follows
@@ -60,15 +58,9 @@ def emit_extraction_jobs(
         F.sort_array(
             F.collect_list(F.struct("path", "size", "extension"))
         ).alias("files"),
-        F.min("seq").alias("first_seq"),
+        F.min("seq").alias("family_seq"),
         F.count("*").alias("num_files"),
         F.sum("size").alias("total_bytes"),
-    )
-    fams = with_global_seq(
-        fams,
-        [F.col("first_seq").asc()],
-        seq_col="family_seq",
-        start=seq_start,
     )
     fams = fams.withColumn(
         "family_id",

@@ -40,7 +40,9 @@ def with_global_seq(
         .sortWithinPartitions(*order_cols)
         .withColumn(_PID, F.spark_partition_id())
     )
-    part = part.localCheckpoint(eager=True)  # pin partitioning: count + stamp see same layout
+    # lazy checkpoint: the count job below materializes it; the stamp pass and
+    # all later consumers then read pinned blocks (same layout, no recompute)
+    part = part.localCheckpoint(eager=False)
     counts = {r[_PID]: r["cnt"] for r in part.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()}
     offsets: dict[int, int] = {}
     acc = start

@@ -56,17 +56,52 @@ class ManifestCatalog:
         return any(m.endswith(f"-{commit_id}.json") for m in self._manifests(table))
 
     def commit(
-        self, table: str, df: DataFrame, commit_id: str, mode: str = "append"
+        self,
+        table: str,
+        df: DataFrame,
+        commit_id: str,
+        mode: str = "append",
+        coalesce: int | None = None,
     ) -> bool:
         """Write ``df`` as one atomic commit. Returns False if the commit_id was
-        already present (idempotent re-run)."""
+        already present (idempotent re-run). ``coalesce`` bounds output file
+        count per commit (small-file compaction; at petabyte scale leave None)."""
         assert mode in ("append", "overwrite")
         if self.has_commit(table, commit_id):
             return False
         data_rel = os.path.join("data", commit_id)
         data_abs = os.path.join(self._table_dir(table), data_rel)
+        if coalesce:
+            df = df.coalesce(coalesce)
         # a crashed earlier attempt may have left partial data; overwrite it
         df.write.mode("overwrite").parquet(data_abs)
+        mdir = self._manifest_dir(table)
+        os.makedirs(mdir, exist_ok=True)
+        seq = len(self._manifests(table))
+        manifest = {"seq": seq, "commit_id": commit_id, "mode": mode, "data": data_rel}
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, os.path.join(mdir, f"{seq:06d}-{commit_id}.json"))
+        return True
+
+    def commit_rows(
+        self, table: str, rows: list[dict], schema, commit_id: str, mode: str = "append"
+    ) -> bool:
+        """Commit a tiny driver-side row set (e.g. the one-row crawl_state
+        checkpoint) directly via pyarrow — no Spark job, no task latency."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if self.has_commit(table, commit_id):
+            return False
+        data_rel = os.path.join("data", commit_id)
+        data_abs = os.path.join(self._table_dir(table), data_rel)
+        os.makedirs(data_abs, exist_ok=True)
+        cols = {name: [r.get(name) for r in rows] for name in schema.names}
+        pq.write_table(
+            pa.table(cols, schema=schema), os.path.join(data_abs, "part-0.parquet")
+        )
         mdir = self._manifest_dir(table)
         os.makedirs(mdir, exist_ok=True)
         seq = len(self._manifests(table))
@@ -100,6 +135,28 @@ class ManifestCatalog:
         if not dirs:
             return None
         return self.spark.read.parquet(*dirs)
+
+    def read_last_commit_rows(self, table: str) -> list[dict]:
+        """Driver-side read of the newest commit's rows via pyarrow (no Spark
+        job) — for tiny control tables like crawl_state."""
+        import pyarrow.dataset as ds
+
+        manifests = self._manifests(table)
+        if not manifests:
+            return []
+        with open(os.path.join(self._manifest_dir(table), manifests[-1])) as f:
+            m = json.load(f)
+        tbl = ds.dataset(os.path.join(self._table_dir(table), m["data"])).to_table()
+        return tbl.to_pylist()
+
+    def read_commit(self, table: str, commit_id: str) -> DataFrame | None:
+        """Read exactly one commit's data files (not the cumulative snapshot)."""
+        for name in self._manifests(table):
+            with open(os.path.join(self._manifest_dir(table), name)) as f:
+                m = json.load(f)
+            if m["commit_id"] == commit_id:
+                return self.spark.read.parquet(os.path.join(self._table_dir(table), m["data"]))
+        return None
 
     def commits(self, table: str) -> list[str]:
         out = []

@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from crawler_service_spark.functions.urls import ext_class_col, extension_col
-from crawler_service_spark.operators import docdedup, multimodal, similarity, textquality
+from crawler_service_spark.operators import docdedup, grouping, multimodal, similarity, textquality
+from crawler_service_spark.operators.graph import connected_components
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -233,6 +234,137 @@ def _g4_family_envelope(spark, sf):
     return fams.select("source", "n_files", "total_chars", payload.alias("payload_json"))
 
 
+def _a1_class_tally(spark, sf):
+    """A1+A2: count + byte tally per file class (reference tallies/size_tallies,
+    crawlers/globus_base_preserved.py:43-44,327-346)."""
+    named = _c1_extension_class(spark, sf)
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    return (
+        named.join(d, "doc_id")
+        .groupBy("file_class")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+ARCHIVE_EXTS = ["zip", "txt", "gz", "csv", "tgz"]  # doc_id % 5 -> ext
+COMPRESSED = ["zip", "tar", "gz", "tgz", "z"]
+MIME_MAP = {
+    "zip": "application/zip",
+    "gz": "application/gzip",
+    "tgz": "application/gzip",
+    "txt": "text/plain",
+    "csv": "text/csv",
+}
+
+
+def _arch_ext():
+    return F.element_at(
+        F.array(*[F.lit(e) for e in ARCHIVE_EXTS]), (F.col("doc_id") % 5 + 1).cast("int")
+    )
+
+
+def _f3_compressed_predicate(spark, sf):
+    """F3: is_compressed extension predicate (legacy/posix_crawler.py:51-63)."""
+    d = _t(spark, sf, "documents").withColumn("ext", _arch_ext())
+    return (
+        d.filter(F.lower(F.col("ext")).isin(*COMPRESSED))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_compressed"))
+    )
+
+
+def _c2_url_build(spark, sf):
+    """C2: path-join / URL build (os.path.join + base_url concat,
+    crawlers/globus_base_preserved.py:310-313)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "/", F.lit("https://corpus.local"), F.col("source"),
+            F.concat(F.lit("doc_"), F.col("doc_id").cast("string")),
+        ).alias("url"),
+    )
+
+
+def _c5_mime_map(spark, sf):
+    """C5: mime sniff as an ext->mime broadcast mapping join
+    (crawlers/local_funcx.py:128,163)."""
+    d = _t(spark, sf, "documents").withColumn("ext", _arch_ext())
+    mimes = spark.createDataFrame(list(MIME_MAP.items()), "ext string, mime string")
+    return (
+        d.join(F.broadcast(mimes), "ext", "left")
+        .withColumn("mime", F.coalesce("mime", F.lit("application/octet-stream")))
+        .groupBy("mime")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _w2_host_budget_cap(spark, sf):
+    """W2: per-key budget cap with *variable* budgets — the politeness-window
+    core (budget = floor(iteration/crawl_delay); here budget = user_id%3+1)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("budget", (F.col("user_id") % 3 + 1).cast("int"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("budget"))
+        .select("user_id", "event_id", "rn", "budget")
+    )
+
+
+def _j6_group_edges(spark, sf):
+    """J6: group -> pair edges, itertools.combinations as a self-join
+    (/root/reference/tests/graph_test.py:9-20)."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 25).alias("fam")
+    )
+    a = d.select("fam", F.col("doc_id").alias("doc_a"))
+    b = d.select("fam", F.col("doc_id").alias("doc_b"))
+    return a.join(b, "fam").filter(F.col("doc_a") < F.col("doc_b")).select(
+        "fam", "doc_a", "doc_b"
+    )
+
+
+def _j6_connected_components(spark, sf):
+    """J6 full form: connected components via iterative min-label propagation
+    (star-shaped family graphs, diameter 2)."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 25).alias("hub")
+    )
+    edges = d.filter(F.col("doc_id") != F.col("hub")).select(
+        F.col("hub").alias("src"), F.col("doc_id").alias("dst")
+    )
+    return connected_components(edges)
+
+
+def _u4_frontier_merge(spark, sf):
+    """U4: merge discovered candidates from parallel producers, keep the
+    first occurrence per key (frontier union semantics)."""
+    ev = _t(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    b = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    merged = a.unionByName(b)
+    first = F.min(F.struct("ts", "event_id")).alias("first")
+    return (
+        merged.groupBy("user_id")
+        .agg(first, F.count("*").alias("n_discoveries"))
+        .select(
+            "user_id",
+            F.col("first.ts").cast("timestamp").cast("long").alias("first_ts_epoch"),
+            F.col("first.event_id").alias("first_event_id"),
+            "n_discoveries",
+        )
+    )
+
+
+def _g2_families_grouped(spark, sf):
+    """G2/UD2: plug-in grouper as grouped-map pandas UDF."""
+    return grouping.gen_families_grouped(_t(spark, sf, "documents"))
+
+
 # --------------------------------------------------------------------------- #
 # training-data pipeline queries (documents / embeddings)
 # --------------------------------------------------------------------------- #
@@ -362,6 +494,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_prefix_theta_antijoin": _j4_prefix_theta_antijoin,
         "j5_seen_antijoin": _j5_seen_antijoin,
         "w1_politeness_rank": _w1_politeness_rank,
+        "w2_host_budget_cap": _w2_host_budget_cap,
+        "a1_class_tally": _a1_class_tally,
+        "f3_compressed_predicate": _f3_compressed_predicate,
+        "c2_url_build": _c2_url_build,
+        "c5_mime_map": _c5_mime_map,
+        "j6_group_edges": _j6_group_edges,
+        "j6_connected_components": _j6_connected_components,
+        "u4_frontier_merge": _u4_frontier_merge,
+        "g2_families_grouped": _g2_families_grouped,
         "l1_topk": _l1_topk,
         "u1_union_distinct": _u1_union_distinct,
         "u3_except": _u3_except,
@@ -566,6 +707,91 @@ def oracle_sql() -> dict[str, str]:
             FROM exts
         """,
         "c4_hash": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+        "a1_class_tally": """
+            WITH named AS (
+                SELECT doc_id, n_chars,
+                       source || '/doc_' || CAST(doc_id AS VARCHAR) ||
+                       CASE WHEN doc_id % 3 = 0 THEN '.txt'
+                            WHEN doc_id % 3 = 1 THEN '.csv' ELSE '' END AS fname
+                FROM documents
+            ), exts AS (
+                SELECT doc_id, n_chars,
+                       CASE WHEN split_part(fname, '/', -1) LIKE '%.%'
+                            THEN lower(split_part(split_part(fname, '/', -1), '.', -1))
+                       END AS ext
+                FROM named
+            )
+            SELECT CASE WHEN ext IN ('txt','md','html','htm','xml','json','rst','tex') THEN 'text'
+                        WHEN ext IN ('csv','tsv','parquet','xls','xlsx','hdf5','h5') THEN 'tabular'
+                        WHEN ext IN ('png','jpg','jpeg','gif','tif','tiff','bmp') THEN 'images'
+                        WHEN ext IN ('zip','tar','gz','tgz','z','7z','bz2') THEN 'compressed'
+                        ELSE 'other' END AS file_class,
+                   count(*) AS n_files,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM exts GROUP BY 1
+        """,
+        "f3_compressed_predicate": f"""
+            SELECT source, count(*) AS n_compressed FROM (
+                SELECT source, (['{"','".join(ARCHIVE_EXTS)}'])[doc_id % 5 + 1] AS ext
+                FROM documents
+            ) WHERE lower(ext) IN ({", ".join(f"'{e}'" for e in COMPRESSED)})
+            GROUP BY source
+        """,
+        "c2_url_build": """
+            SELECT doc_id,
+                   'https://corpus.local/' || source || '/doc_' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+        """,
+        "c5_mime_map": f"""
+            WITH exts AS (
+                SELECT (['{"','".join(ARCHIVE_EXTS)}'])[doc_id % 5 + 1] AS ext FROM documents
+            )
+            SELECT CASE {" ".join(f"WHEN ext = '{e}' THEN '{m}'" for e, m in MIME_MAP.items())}
+                        ELSE 'application/octet-stream' END AS mime,
+                   count(*) AS n
+            FROM exts GROUP BY 1
+        """,
+        "w2_host_budget_cap": """
+            SELECT user_id, event_id, rn, budget FROM (
+                SELECT user_id, event_id,
+                       CAST(user_id % 3 + 1 AS INT) AS budget,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn <= budget
+        """,
+        "j6_group_edges": """
+            SELECT a.fam, a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM (SELECT doc_id, doc_id - doc_id % 25 AS fam FROM documents) a
+            JOIN (SELECT doc_id, doc_id - doc_id % 25 AS fam FROM documents) b
+              ON a.fam = b.fam AND a.doc_id < b.doc_id
+        """,
+        "j6_connected_components": """
+            WITH fams AS (SELECT doc_id, doc_id - doc_id % 25 AS hub FROM documents),
+            counts AS (SELECT hub, count(*) AS c FROM fams GROUP BY hub)
+            SELECT doc_id AS node, hub AS component
+            FROM fams JOIN counts USING (hub) WHERE c > 1
+        """,
+        "u4_frontier_merge": """
+            WITH merged AS (
+                SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+            ), ranked AS (
+                SELECT user_id, ts, event_id,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS n_discoveries
+                FROM merged
+            )
+            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS first_ts_epoch,
+                   event_id AS first_event_id, n_discoveries
+            FROM ranked WHERE rn = 1
+        """,
+        "g2_families_grouped": """
+            SELECT source, count(*) AS n_files,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   md5(array_to_string(list_sort(list(doc_id)), ',')) AS members_md5
+            FROM documents GROUP BY source
+        """,
         "c9_json_extract": """
             SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events
         """,

@@ -91,3 +91,40 @@ def emit_extraction_jobs(fetched: DataFrame, iteration: int) -> DataFrame:
         "parser",
         F.to_json(payload).alias("payload_json"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# grouped-map grouper (SURVEY.md §2.9 G2 / §2.11 UD2)
+# --------------------------------------------------------------------------- #
+
+
+def gen_families_grouped(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Plug-in grouper as a grouped-map pandas UDF — the Spark shape of the
+    reference's ``grouper.gen_families(fdict_ls)`` strategy call
+    (/root/reference/crawlers/local_posix.py:206-226): one Python callable
+    receives a whole group's file dicts and emits a family summary.
+
+    Vectorized per group (Arrow batch in, one-row frame out); the member
+    digest is over the *sorted* member ids so the output is deterministic
+    under any partitioning. Oracle-checked against DuckDB in
+    __spark_entry__ (``g2_families_grouped``).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def fam(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(int(x) for x in pdf["doc_id"])
+        digest = hashlib.md5(",".join(str(i) for i in ids).encode()).hexdigest()
+        return pd.DataFrame(
+            {
+                "source": [pdf[group_col].iloc[0]],
+                "n_files": [len(ids)],
+                "total_chars": [int(pdf["n_chars"].sum())],
+                "members_md5": [digest],
+            }
+        )
+
+    return docs.select(group_col, "doc_id", "n_chars").groupBy(group_col).applyInPandas(
+        fam, schema="source string, n_files long, total_chars long, members_md5 string"
+    )

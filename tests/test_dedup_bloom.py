@@ -1,0 +1,79 @@
+"""Bloom-filter safety (SURVEY.md §5.2): the bloom is an accelerator whose
+approximation direction can only cost extra work, never lose URLs.
+
+- no false negatives: every URL that was added to the filter flags
+  ``maybe_seen=True`` on probe — even in a deliberately saturated filter;
+- end-to-end: ``dedup_new_urls`` returns exactly the unseen set with a
+  near-100%-fpp bloom (the exact anti-join backstop catches all false
+  positives).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_service_spark.functions.urls import url_hash_col
+from crawler_service_spark.operators.dedup import BloomSeenFilter, dedup_new_urls
+from crawler_service_spark.storage import ManifestCatalog
+
+SEEN_URLS = [f"https://h{i % 7}.example.com/seen/{i}" for i in range(300)]
+NEW_URLS = [f"https://h{i % 7}.example.com/new/{i}" for i in range(120)]
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return ManifestCatalog(str(tmp_path / "bloomcat"), spark)
+
+
+def urls_df(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return df.withColumn("url_hash", url_hash_col("url"))
+
+
+def test_no_false_negatives_even_when_saturated(spark, catalog):
+    # 64 bits per bucket for 150 urls/bucket => the filter is ~all-ones
+    bloom = BloomSeenFilter(catalog, n_buckets=2, m_bits=64, k_hashes=3)
+    seen = urls_df(spark, SEEN_URLS)
+    bloom.update(seen.select("url"), "bloom-0")
+
+    flagged = bloom.flag_maybe_seen(seen)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_dedup_exact_despite_false_positives(spark, catalog):
+    bloom = BloomSeenFilter(catalog, n_buckets=2, m_bits=64, k_hashes=3)
+    seen = urls_df(spark, SEEN_URLS)
+    bloom.update(seen.select("url"), "bloom-0")
+
+    cand = urls_df(spark, SEEN_URLS + NEW_URLS)
+    out = dedup_new_urls(cand, seen, bloom)
+    assert sorted(r["url"] for r in out.collect()) == sorted(NEW_URLS)
+
+
+def test_dedup_with_healthy_bloom_and_fast_path(spark, catalog):
+    # realistically-sized filter: most new urls take the bloom fast path
+    bloom = BloomSeenFilter(catalog, n_buckets=4, m_bits=1 << 14, k_hashes=7)
+    seen = urls_df(spark, SEEN_URLS)
+    bloom.update(seen.select("url"), "bloom-0")
+
+    cand = urls_df(spark, SEEN_URLS + NEW_URLS)
+    flagged = bloom.flag_maybe_seen(cand)
+    # every truly-seen url is flagged; the fast path actually engages
+    assert flagged.filter(~F.col("maybe_seen")).filter(
+        F.col("url").contains("/seen/")
+    ).count() == 0
+    assert flagged.filter(~F.col("maybe_seen")).count() > 0
+
+    out = dedup_new_urls(cand, seen, bloom)
+    assert sorted(r["url"] for r in out.collect()) == sorted(NEW_URLS)
+
+
+def test_incremental_update_across_commits(spark, catalog):
+    bloom = BloomSeenFilter(catalog, n_buckets=2, m_bits=1 << 12, k_hashes=5)
+    a, b = SEEN_URLS[:150], SEEN_URLS[150:]
+    bloom.update(urls_df(spark, a).select("url"), "bloom-0")
+    bloom.update(urls_df(spark, b).select("url"), "bloom-1", upto="bloom-0")
+
+    flagged = bloom.flag_maybe_seen(urls_df(spark, SEEN_URLS), upto="bloom-1")
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0

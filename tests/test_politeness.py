@@ -1,0 +1,113 @@
+"""Politeness-scheduler unit tests (SURVEY.md §2.5 W1-W3, §2.2 F2/J4):
+per-host budgets, breadth-priority order, salt-lane equivalence, robots filter.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from crawler_service_spark.operators import politeness
+
+ROBOTS = [
+    # host, path_prefix, allow, crawl_delay_s
+    ("a.com", "", True, 1.0),
+    ("b.com", "", True, 5.0),
+    ("b.com", "/private", False, 5.0),
+    ("c.com", "/tmp", False, 2.0),
+]
+ROBOTS_SCHEMA = "host string, path_prefix string, allow boolean, crawl_delay_s double"
+
+
+def robots_df(spark):
+    return spark.createDataFrame(ROBOTS, ROBOTS_SCHEMA)
+
+
+def pending_df(spark, rows):
+    # (url, url_hash, host, path, depth, priority, seq)
+    return spark.createDataFrame(
+        rows,
+        "url string, url_hash long, host string, path string, "
+        "depth int, priority int, seq long",
+    )
+
+
+def mk_rows(host, n, depth=0, prio=0, start_seq=0):
+    return [
+        (f"https://{host}/p{i}", hash((host, i)), host, f"/p{i}", depth, prio, start_seq + i)
+        for i in range(n)
+    ]
+
+
+def test_host_budgets_from_crawl_delay(spark):
+    budgets = {
+        r["host"]: r["host_budget"]
+        for r in politeness.host_budgets(robots_df(spark), 10.0).collect()
+    }
+    assert budgets["a.com"] == 10  # floor(10/1)
+    assert budgets["b.com"] == 2   # floor(10/5)
+    assert budgets["c.com"] == 5   # floor(10/2)
+
+
+def test_schedule_respects_budget_and_breadth_order(spark):
+    rows = mk_rows("a.com", 25) + mk_rows("b.com", 25, start_seq=100)
+    pending = pending_df(spark, rows)
+    budgets = politeness.host_budgets(robots_df(spark), 10.0)
+    picked = politeness.schedule(pending, budgets, 10.0).collect()
+    by_host = {}
+    for r in picked:
+        by_host.setdefault(r["host"], []).append(r["seq"])
+    assert sorted(by_host["a.com"]) == list(range(10))       # top-10 by seq
+    assert sorted(by_host["b.com"]) == [100, 101]            # budget 2
+    # breadth order: lower depth always beats higher depth within a host
+    deep = mk_rows("b.com", 3, depth=2, start_seq=50) + mk_rows(
+        "b.com", 3, depth=1, start_seq=200
+    )
+    picked2 = politeness.schedule(pending_df(spark, deep), budgets, 10.0).collect()
+    assert sorted(r["seq"] for r in picked2) == [200, 201]   # depth 1 wins despite larger seq
+
+
+def test_salt_lanes_change_nothing(spark):
+    rows = mk_rows("a.com", 40) + mk_rows("b.com", 40, start_seq=100) + mk_rows(
+        "c.com", 40, depth=1, start_seq=300
+    )
+    pending = pending_df(spark, rows)
+    budgets = politeness.host_budgets(robots_df(spark), 10.0)
+    unsalted = politeness.schedule(pending, budgets, 10.0, salt_lanes=1)
+    salted = politeness.schedule(pending, budgets, 10.0, salt_lanes=8)
+    assert sorted(map(tuple, unsalted.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_global_cap_picks_global_top(spark):
+    rows = mk_rows("a.com", 8) + mk_rows("b.com", 8, start_seq=2)
+    budgets = politeness.host_budgets(robots_df(spark), 100.0)  # budgets >> cap
+    picked = politeness.schedule(
+        pending_df(spark, rows), budgets, 100.0, global_cap=5
+    ).collect()
+    assert sorted(r["seq"] for r in picked) == [0, 1, 2, 2, 3]
+
+
+def test_robots_filter_drops_disallowed_prefixes(spark):
+    cand = spark.createDataFrame(
+        [
+            ("https://b.com/private/x", "b.com", "/private/x"),
+            ("https://b.com/public/x", "b.com", "/public/x"),
+            ("https://c.com/tmp/y", "c.com", "/tmp/y"),
+            ("https://a.com/tmp/y", "a.com", "/tmp/y"),  # /tmp only blocked on c.com
+        ],
+        "url string, host string, path string",
+    )
+    kept = sorted(
+        r["url"] for r in politeness.robots_filter(cand, robots_df(spark)).collect()
+    )
+    assert kept == ["https://a.com/tmp/y", "https://b.com/public/x"]
+
+
+def test_default_budget_for_unknown_host(spark):
+    rows = mk_rows("unknown.net", 30)
+    budgets = politeness.host_budgets(robots_df(spark), 10.0)
+    picked = politeness.schedule(
+        pending_df(spark, rows), budgets, 10.0, default_delay_s=2.0
+    )
+    assert picked.count() == math.floor(10.0 / 2.0)

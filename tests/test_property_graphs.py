@@ -1,0 +1,117 @@
+"""Property test (SURVEY.md §5.2): for arbitrary small link graphs, politeness
+budgets, dangling links, and disallow rules, the Spark engine's crawl is
+identical to the pure-Python oracle — seen set, crawl order, extracted text.
+"""
+
+from __future__ import annotations
+
+import random
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from crawler_service_spark.engine import CrawlConfig, CrawlEngine
+from tests.oracle import oracle_crawl
+
+HOSTS = ["alpha.test", "beta.test", "gamma.test"]
+PAGES_SCHEMA = "url string, html binary, lang string"
+ROBOTS_SCHEMA = "host string, path_prefix string, allow boolean, crawl_delay_s double"
+SEEDS_SCHEMA = "crawl_id string, url string, seed_order long"
+
+
+def build_world(seed: int):
+    rng = random.Random(seed)
+    n = rng.randint(15, 35)
+    urls = [
+        f"https://{HOSTS[i % len(HOSTS)]}/d{i % 5}/page{i}" for i in range(n)
+    ]
+    pages = {}
+    for i, u in enumerate(urls):
+        links = rng.sample(urls, k=min(rng.randint(0, 4), n))
+        if rng.random() < 0.3:  # dangling link -> fetch-failure path
+            links.append(f"https://{HOSTS[rng.randrange(len(HOSTS))]}/missing/{i}")
+        hrefs = "".join(f'<a href="{l}">l</a>' for l in links)
+        pages[u] = (
+            f"<html><title>t{i}</title><body><p>para {i}</p>{hrefs}</body></html>"
+        ).encode()
+
+    robots = [
+        {
+            "host": h,
+            "path_prefix": "",
+            "allow": True,
+            "crawl_delay_s": float(rng.choice([1, 2, 4])),
+        }
+        for h in HOSTS
+    ]
+    if rng.random() < 0.5:
+        robots.append(
+            {
+                "host": rng.choice(HOSTS),
+                "path_prefix": f"/d{rng.randrange(5)}",
+                "allow": False,
+                "crawl_delay_s": 1.0,
+            }
+        )
+    seeds = [
+        {"crawl_id": "prop", "url": u, "seed_order": i}
+        for i, u in enumerate(rng.sample(urls, k=rng.randint(1, 2)))
+    ]
+    return pages, seeds, robots
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31))
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_engine_equals_oracle_on_random_graphs(spark, seed):
+    pages, seeds, robots = build_world(seed)
+    iter_s = 3.0
+
+    want = oracle_crawl(pages, seeds, robots, iteration_seconds=iter_s)
+
+    pages_df = spark.createDataFrame(
+        [(u, h, "en") for u, h in pages.items()], PAGES_SCHEMA
+    )
+    robots_df = spark.createDataFrame(
+        [(r["host"], r["path_prefix"], r["allow"], r["crawl_delay_s"]) for r in robots],
+        ROBOTS_SCHEMA,
+    )
+    seeds_df = spark.createDataFrame(
+        [(s["crawl_id"], s["url"], s["seed_order"]) for s in seeds], SEEDS_SCHEMA
+    )
+
+    wd = tempfile.mkdtemp(prefix="prop-crawl-")
+    try:
+        eng = CrawlEngine(
+            spark,
+            pages=pages_df,
+            robots=robots_df,
+            workdir=wd,
+            config=CrawlConfig(iteration_seconds=iter_s, max_iterations=100),
+        )
+        stats = eng.run(seeds=seeds_df)
+        assert stats[-1]["status"] == "complete"
+
+        got_seen = {r["url"] for r in eng.catalog.read("seen").collect()}
+        assert got_seen == want.seen
+
+        got_order = [
+            (r["iteration"], r["seq"], r["depth"], r["url"])
+            for r in sorted(
+                eng.catalog.read("crawl_order").collect(),
+                key=lambda r: (r["iteration"], r["depth"], -r["priority"], r["seq"]),
+            )
+        ]
+        assert got_order == want.order
+
+        got_texts = {
+            r["url"]: r["text"] for r in eng.catalog.read("pages_out").collect()
+        }
+        assert got_texts == want.texts
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)

@@ -31,6 +31,7 @@ from __future__ import annotations
 import os
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 import pyarrow as pa
@@ -71,13 +72,23 @@ class CrawlConfig:
     bloom_buckets: int = 64
     bloom_bits: int = 1 << 17
     # engage the bloom PROBE only once the seen set is worth it; below this the
-    # exact anti-join alone is cheaper than an extra Python stage. Blobs are
-    # maintained from iteration 0 either way so engagement is seamless.
-    bloom_min_seen: int = 0
+    # exact anti-join alone is cheaper than an extra Python stage (the probe
+    # costs a cogroup pass over every candidate, and its definite-new/maybe
+    # union split duplicates the candidate pipeline because exchange reuse
+    # does not cross the Python cogroup node). Blobs are maintained from
+    # iteration 0 either way so engagement is seamless.
+    bloom_min_seen: int = 2_000_000
     emit_jobs: bool = True
     # bound output files per commit (small-file compaction for control tables;
     # None = leave partitioning alone, the petabyte-scale default)
     commit_files: int | None = None
+    # eager=True materializes the two per-iteration checkpoints (fetched,
+    # new_frontier) in their own full-parallelism job before any consumer
+    # runs. With eager=False, the first two consumer jobs race to compute the
+    # same checkpoint partitions and serialize on block locks — cheaper for
+    # tiny iterations (one fewer job), but it caps parallelism on big
+    # batches. Large-frontier deployments should set True.
+    eager_checkpoints: bool = False
     max_iterations: int = 10_000
 
 
@@ -100,6 +111,11 @@ class CrawlEngine:
         p = int(spark.conf.get("spark.sql.shuffle.partitions"))
         self.pages = pages.repartition(p, "url").persist()
         self.robots = robots.persist()
+        if self.config.eager_checkpoints:
+            # big-deployment mode: materialize the page store's hash layout up
+            # front (in production this partitioning pre-exists as Iceberg
+            # bucketing — it must not be re-paid inside every iteration)
+            self.pages.count()
         self.bloom = (
             BloomSeenFilter(
                 self.catalog,
@@ -220,7 +236,7 @@ class CrawlEngine:
         # pending subtraction) re-reads these blocks instead of re-executing.
         fetched = (
             scheduled.join(self.pages.drop("text", "warc_ts"), on="url", how="left")
-            .localCheckpoint(eager=False)  # first consumer materializes; rest read blocks
+            .localCheckpoint(eager=cfg.eager_checkpoints)  # consumers read blocks
         )
         ok = fetched.filter(F.col("html").isNotNull())
         failures = fetched.filter(F.col("html").isNull()).select(
@@ -246,6 +262,12 @@ class CrawlEngine:
             "crawl_id", "parent_seq", "parent_depth", "parent_priority", "link_idx",
             canonicalize_url_col("href").alias("url"),
         ).filter(F.col("url").rlike(r"^https?://"))
+        if cfg.eager_checkpoints:
+            # pin the canonical url STRING before deriving host/path/hash:
+            # otherwise Catalyst collapses the projections and re-inlines the
+            # whole canonicalize tree once per derived column (4x the work,
+            # and CSE can't dedupe inside when() branches)
+            cand = cand.localCheckpoint(eager=True)
         cand = (
             cand.withColumn("host", host_col("url"))
             .withColumn("path", path_col("url"))
@@ -274,6 +296,11 @@ class CrawlEngine:
             F.col("okey.pd").alias("_pd"), F.col("okey.pnp").alias("_pnp"),
             F.col("okey.ps").alias("_ps"), F.col("okey.li").alias("_li"),
         )
+        # Pin the dedup output BEFORE the global-seq range partition:
+        # repartitionByRange runs a range-boundary SAMPLING pass over its
+        # child, which would otherwise evaluate the whole candidate+dedup
+        # pipeline a second time (measured as twin full-cost stages).
+        new = new.localCheckpoint(eager=cfg.eager_checkpoints)
         # with_global_seq pins its own partitioning (localCheckpoint inside);
         # the stamp map is deterministic, so downstream branches may re-run it
         # cheaply off those blocks — no second checkpoint needed.
@@ -286,62 +313,91 @@ class CrawlEngine:
         new_frontier = new.select(
             *[c for c in FRONTIER_COLS if c != "discovered_iter"],
             F.lit(k).alias("discovered_iter"),
-        ).localCheckpoint(eager=False)  # stamp map runs once, 4 consumers share
+        ).localCheckpoint(eager=cfg.eager_checkpoints)  # stamp map runs once, 4 consumers share
 
         next_pending = pending.join(
             fetched.select("url"), on="url", how="left_anti"
         ).select(*FRONTIER_COLS).unionByName(new_frontier.select(*FRONTIER_COLS))
 
-        # ---- commits; counters observed on the write actions themselves ----
+        # ---- commits; counters observed on the write actions themselves.
+        # The seven table commits are mutually independent (all read the two
+        # pinned checkpoints), so they run as CONCURRENT Spark jobs — the
+        # wall cost is the slowest commit, not the sum. Only the crawl_state
+        # checkpoint row must come strictly last. Idempotence is per-table
+        # commit-id, so a crash anywhere in the concurrent batch still
+        # resumes exactly (partially-committed iterations re-run and skip
+        # finished commits).
         it = f"iter-{k}"
         tt = self._trace("pre", t0)
-        m_order = self._commit_observed(
-            "crawl_order",
-            fetched.select(
-                "crawl_id", F.lit(k).alias("iteration"),
-                "seq", "depth", "priority", "url", "host",
-            ),
-            f"order-{it}",
-            {"n_sched": F.count(F.lit(1))},
-            coalesce=cfg.commit_files,
-        )
-        tt = self._trace("order(materialize fetch)", tt)
-        m_pages = self._commit_observed(
-            "pages_out", pages_out, f"pages-{it}",
-            {"n_ok": F.count(F.lit(1)), "bytes": F.sum("size")},
-            coalesce=cfg.commit_files,
-        )
-        tt = self._trace("pages_out(text udf)", tt)
-        self.catalog.commit("fetch_failures", failures, f"fail-{it}", coalesce=cfg.commit_files)
-        tt = self._trace("failures", tt)
-        m_jobs = {"n_fams": 0}
-        if cfg.emit_jobs:
-            jobs = emit_extraction_jobs(
-                ok.select("crawl_id", "url", "seq", "html"), k
+
+        def c_order():
+            return self._commit_observed(
+                "crawl_order",
+                fetched.select(
+                    "crawl_id", F.lit(k).alias("iteration"),
+                    "seq", "depth", "priority", "url", "host",
+                ),
+                f"order-{it}",
+                {"n_sched": F.count(F.lit(1))},
+                coalesce=cfg.commit_files,
             )
-            m_jobs = self._commit_observed(
+
+        def c_pages():
+            return self._commit_observed(
+                "pages_out", pages_out, f"pages-{it}",
+                {"n_ok": F.count(F.lit(1)), "bytes": F.sum("size")},
+                coalesce=cfg.commit_files,
+            )
+
+        def c_fail():
+            self.catalog.commit("fetch_failures", failures, f"fail-{it}", coalesce=cfg.commit_files)
+
+        def c_jobs():
+            if not cfg.emit_jobs:
+                return {"n_fams": 0}
+            jobs = emit_extraction_jobs(ok.select("crawl_id", "url", "seq", "html"), k)
+            return self._commit_observed(
                 "extraction_jobs", jobs, f"jobs-{it}", {"n_fams": F.count(F.lit(1))},
                 coalesce=cfg.commit_files,
             )
-        tt = self._trace("jobs", tt)
-        m_seen = self._commit_observed(
-            "seen",
-            new_frontier.select("url_hash", "url", "host", "depth", "seq", "discovered_iter"),
-            f"seen-{it}",
-            {"n_new": F.count(F.lit(1))},
-            coalesce=cfg.commit_files,
-        )
-        tt = self._trace("seen(cand+dedup+stamp)", tt)
-        if self.bloom:
-            self.bloom.update(new_frontier.select("url"), f"bloom-{it}", upto=f"bloom-{prev}")
-        tt = self._trace("bloom", tt)
-        m_pend = self._commit_observed(
-            "frontier_pending", next_pending, f"pending-{it}",
-            {"n_pending": F.count(F.lit(1))}, mode="overwrite",
-            coalesce=cfg.commit_files,
-        )
 
-        tt = self._trace("pending", tt)
+        def c_seen():
+            return self._commit_observed(
+                "seen",
+                new_frontier.select("url_hash", "url", "host", "depth", "seq", "discovered_iter"),
+                f"seen-{it}",
+                {"n_new": F.count(F.lit(1))},
+                coalesce=cfg.commit_files,
+            )
+
+        def c_bloom():
+            if self.bloom:
+                self.bloom.update(new_frontier.select("url"), f"bloom-{it}", upto=f"bloom-{prev}")
+
+        def c_pend():
+            return self._commit_observed(
+                "frontier_pending", next_pending, f"pending-{it}",
+                {"n_pending": F.count(F.lit(1))}, mode="overwrite",
+                coalesce=cfg.commit_files,
+            )
+
+        with ThreadPoolExecutor(max_workers=7) as pool:
+            futs = {
+                name: pool.submit(fn)
+                for name, fn in [
+                    ("order", c_order), ("pages", c_pages), ("fail", c_fail),
+                    ("jobs", c_jobs), ("seen", c_seen), ("bloom", c_bloom),
+                    ("pend", c_pend),
+                ]
+            }
+            m_order = futs["order"].result()
+            m_pages = futs["pages"].result()
+            m_jobs = futs["jobs"].result()
+            m_seen = futs["seen"].result()
+            m_pend = futs["pend"].result()
+            futs["fail"].result()
+            futs["bloom"].result()
+        tt = self._trace("commits(concurrent)", tt)
         n_sched, n_ok = int(m_order["n_sched"]), int(m_pages["n_ok"])
         n_new, n_pending = int(m_seen["n_new"]), int(m_pend["n_pending"])
         status = "running" if n_pending > 0 else "complete"

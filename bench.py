@@ -72,9 +72,11 @@ def crawl_fixture(sf: float) -> dict[str, str]:
 
 
 def sat_fixture(sf: float) -> dict[str, str]:
-    """Scaling fixture: same page count as the sf, but realistic page sizes
-    (~12 KiB html) so per-URL work matches Common-Crawl-shaped inputs."""
-    n_pages = max(4_000, int(1_200_000 * sf))
+    """Scaling fixture: realistic page sizes (~12 KiB html) so per-URL work
+    matches Common-Crawl-shaped inputs, and 2.5x the sf page count so the
+    data-parallel work dominates the per-iteration floor (the strong-scaling
+    signal needs parallel work >> fixed cost; at 10^10 URLs it trivially is)."""
+    n_pages = max(4_000, int(3_000_000 * sf))
     spec = FixtureSpec(n_pages=n_pages, n_hosts=192, n_seeds=64, seed=42, pad_bytes=12_288)
     out = os.path.join(CACHE, f"fixture-sat-{n_pages}")
     t0 = time.monotonic()
@@ -111,39 +113,42 @@ def run_saturated(cpus: int, paths: dict[str, str], tag: str) -> dict:
         # count would funnel the write through a narrow shuffle for no reason
         commit_files=None, eager_checkpoints=True,
     )
-    # best of 2 runs: the first crawl in a fresh JVM/session pays one-time JIT
-    # compilation of the generated code paths; steady-state is what scales
-    best = None
-    for attempt in range(2):
-        wd = os.path.join(CACHE, f"wd-sat-{tag}")
-        shutil.rmtree(wd, ignore_errors=True)
-        eng = CrawlEngine(
-            spark,
-            pages=pages,
-            robots=spark.read.parquet(paths["robots_rules"]),
-            workdir=wd,
-            config=cfg,
-        )
-        # seeding is a one-off outside the metric: the measured quantity is
-        # frontier-iteration throughput (URLs scheduled+deduped/sec)
-        eng.seed(seeds)
-        t0 = time.monotonic()
-        stats = eng.run()
-        wall = time.monotonic() - t0
-        scheduled = sum(s["scheduled"] for s in stats)
-        if best is None or wall < best[0]:
-            best = (wall, scheduled, len(stats))
+    wd = os.path.join(CACHE, f"wd-sat-{tag}")
+    shutil.rmtree(wd, ignore_errors=True)
+    eng = CrawlEngine(
+        spark,
+        pages=pages,
+        robots=spark.read.parquet(paths["robots_rules"]),
+        workdir=wd,
+        config=cfg,
+    )
+    # seeding is a one-off outside the metric: the measured quantity is
+    # frontier-iteration throughput (URLs scheduled+deduped/sec)
+    eng.seed(seeds)
+    steal0 = _steal_s()
+    t0 = time.monotonic()
+    stats = eng.run()
+    wall = time.monotonic() - t0
+    scheduled = sum(s["scheduled"] for s in stats)
     spark.stop()
-    wall, scheduled, iters = best
     res = {
         "cpus": cpus,
-        "iterations": iters,
+        "iterations": len(stats),
         "urls_scheduled": scheduled,
         "wall_sec": round(wall, 2),
         "throughput_urls_per_sec": round(scheduled / wall, 1),
+        "host_steal_sec": round(_steal_s() - steal0, 2),
     }
     log(f"saturated[{tag}]: {res}")
     return res
+
+
+def _steal_s() -> float:
+    """Hypervisor steal time (seconds) — noisy-host evidence for the record."""
+    try:
+        return int(open("/proc/stat").readline().split()[8]) / 100.0
+    except Exception:
+        return 0.0
 
 
 def run_crawl(cpus: int, paths: dict[str, str], tag: str) -> dict:
@@ -210,8 +215,17 @@ def main() -> None:
         # see BASELINE.md "Measured" for the probe numbers.
         n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         n_big = n_small * 4
-        s_small = run_saturated(n_small, sat_paths, f"n{n_small}")
-        s_big = run_saturated(n_big, sat_paths, f"n{n_big}")
+        # INTERLEAVED best-of-2 per level: host throughput drifts over minutes
+        # (shared hypervisor), so adjacent small/big runs + best-of de-bias
+        # the comparison; round 1 also warms JVM JIT for both levels.
+        s_small = s_big = None
+        for rep in range(2):
+            r_small = run_saturated(n_small, sat_paths, f"n{n_small}r{rep}")
+            r_big = run_saturated(n_big, sat_paths, f"n{n_big}r{rep}")
+            if s_small is None or r_small["wall_sec"] < s_small["wall_sec"]:
+                s_small = r_small
+            if s_big is None or r_big["wall_sec"] < s_big["wall_sec"]:
+                s_big = r_big
         eff = (
             s_big["throughput_urls_per_sec"]
             / s_small["throughput_urls_per_sec"]
@@ -224,6 +238,7 @@ def main() -> None:
             "throughput_n": s_small["throughput_urls_per_sec"],
             "throughput_4n": s_big["throughput_urls_per_sec"],
             "efficiency": round(eff, 3),
+            "runs": {"n": s_small, "n4": s_big},
         }
     crawl = run_crawl(CPUS, paths, f"n{CPUS}")
 

@@ -64,17 +64,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q1_pricing_summary(spark, sf):
+    # aggregate in decimal (exact, order-independent), emit as double: the
+    # driver hashes through arrow/pandas where Spark Decimal and DuckDB
+    # DECIMAL/HUGEINT serialize differently — a single exact-decimal->double
+    # conversion at the end is deterministic and identical in both engines.
     li = _t(spark, sf, "lineitem")
     price, disc, tax = _dec("l_extendedprice"), _dec("l_discount"), _dec("l_tax")
     return (
         li.filter(F.col("l_shipdate") < "2000-01-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc)).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(_dec("l_quantity")).cast("decimal(38,2)").cast("double").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc)).cast("decimal(38,4)").cast("double").alias("sum_disc_price"),
             F.sum(price * (F.lit(1).cast("decimal(12,2)") - disc) * (F.lit(1).cast("decimal(12,2)") + tax))
-            .cast("decimal(38,6)").alias("sum_charge"),
+            .cast("decimal(38,6)").cast("double").alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
     )
@@ -110,7 +114,7 @@ def _j1_broadcast_enrich(spark, sf):
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total_price"),
+            F.sum(_dec("o_totalprice")).cast("decimal(38,2)").cast("double").alias("total_price"),
         )
     )
 
@@ -119,7 +123,7 @@ def _j3_status_stats(spark, sf):
     o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
     stats = o.groupBy("o_custkey").agg(
         F.count("*").alias("n_orders"),
-        F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total_price"),
+        F.sum(_dec("o_totalprice")).cast("decimal(38,2)").cast("double").alias("total_price"),
     )
     return c.join(stats, c["c_custkey"] == stats["o_custkey"]).select(
         "c_custkey", "c_name", "c_mktsegment", "n_orders", "total_price"
@@ -455,6 +459,9 @@ def _ann_lsh_topk(spark, sf):
 
 
 def _multimodal_features(spark, sf):
+    """Byte-level media features; the registered query keeps only the
+    integer-exact columns (entropy is float-derived -> covered by pytest
+    against a numpy reference instead of the cross-engine hash gate)."""
     d = _t(spark, sf, "documents")
     media = d.select(
         F.col("doc_id").alias("media_id"),
@@ -465,7 +472,7 @@ def _multimodal_features(spark, sf):
         F.encode("text", "utf-8").alias("payload"),
         F.create_map(F.lit("src"), F.col("source")).alias("meta"),
     )
-    return multimodal.extract_byte_features(media)
+    return multimodal.extract_byte_features(media).drop("byte_entropy_millis")
 
 
 def _multimodal_decode(spark, sf):
@@ -618,10 +625,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(38,6)) AS sum_charge,
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
             GROUP BY l_returnflag, l_linestatus
@@ -640,7 +647,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "j1_broadcast_enrich": """
             SELECT c_nationkey, count(*) AS n_orders,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_price
+                   CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey
         """,
@@ -648,7 +655,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, c_mktsegment, n_orders, total_price
             FROM customer JOIN (
                 SELECT o_custkey, count(*) AS n_orders,
-                       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_price
+                       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_price
                 FROM orders GROUP BY o_custkey
             ) s ON c_custkey = s.o_custkey
         """,
@@ -804,7 +811,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_custkey
         """,
         "g4_family_envelope": """
-            SELECT source, count(*) AS n_files, sum(n_chars) AS total_chars,
+            SELECT source, count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    '{"n_files":' || CAST(count(*) AS VARCHAR) ||
                    ',"source":"' || source ||
                    '","total_chars":' || CAST(sum(n_chars) AS VARCHAR) || '}' AS payload_json
@@ -872,5 +879,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(list_dot_product({_QUANT}, (SELECT qv FROM q)) AS BIGINT) AS dot
             FROM embeddings
             ORDER BY dot DESC, vec_id ASC LIMIT {DOT_TOPK}
+        """,
+        # byte-level features over the utf-8 payload: bytes recovered via
+        # hex(encode(text)) two chars at a time — engine-agnostic and exact
+        "multimodal_features": f"""
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       CASE WHEN doc_id % 3 = 0 THEN 'image'
+                            WHEN doc_id % 3 = 1 THEN 'audio'
+                            ELSE 'video' END AS kind,
+                       hex(encode(text)) AS hx,
+                       octet_length(encode(text)) AS n
+                FROM documents
+            ), b AS (
+                SELECT media_id, ('0x' || substr(hx, 2*i - 1, 2))::BIGINT AS byte
+                FROM m, unnest(range(1, n + 1)) AS u(i)
+            ), agg AS (
+                SELECT media_id, sum(byte) AS bs,
+                       {", ".join(f"sum(CASE WHEN byte // 16 = {k} THEN 1 ELSE 0 END) AS b{k}" for k in range(16))}
+                FROM b GROUP BY media_id
+            )
+            SELECT m.media_id, m.kind, CAST(n AS BIGINT) AS n_bytes,
+                   CAST(CASE WHEN n > 0 THEN (1000 * coalesce(bs, 0)) // n ELSE 0 END AS BIGINT) AS byte_mean_millis,
+                   {", ".join(f"CAST(coalesce(b{k}, 0) AS BIGINT) AS hist_{k}" for k in range(16))}
+            FROM m LEFT JOIN agg USING (media_id)
         """,
     }

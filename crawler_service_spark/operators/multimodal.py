@@ -38,37 +38,58 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("kind", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("byte_mean_millis", T.LongType()),   # mean byte value * 1000
+        # mean byte value * 1000 as integer floor division (1000*sum DIV n):
+        # exact, so the DuckDB oracle matches bit-for-bit
+        T.StructField("byte_mean_millis", T.LongType()),
         T.StructField("byte_entropy_millis", T.LongType()),  # Shannon entropy * 1000
-        T.StructField("histogram16", T.ArrayType(T.LongType())),
     ]
+    # 16-bin nibble histogram as 16 scalar columns (hashable + oracle-able,
+    # unlike an array column, which the driver's row canonicalizer can't sort)
+    + [T.StructField(f"hist_{i}", T.LongType()) for i in range(16)]
 )
 
 
 def extract_byte_features(media: DataFrame) -> DataFrame:
-    """Real (codec-free) per-payload features: size, mean byte, entropy,
-    16-bin byte histogram. Vectorized per Arrow batch."""
+    """Real (codec-free) per-payload features: size, integer mean-byte,
+    entropy, 16-bin byte histogram (one column per bin).
+
+    Fully vectorized over the Arrow batch: all payloads are concatenated into
+    ONE uint8 buffer, per-row offsets map bytes back to rows, and both the
+    byte sums and the (rows x 16) histogram come from single ``np.bincount``
+    calls — no per-row numpy work.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                arr = np.frombuffer(payload or b"", dtype=np.uint8)
-                n = len(arr)
-                if n:
-                    hist = np.bincount(arr >> 4, minlength=16).astype(np.int64)
-                    p = hist[hist > 0] / n
-                    entropy = float(-(p * np.log2(p)).sum())
-                    mean = float(arr.mean())
-                else:
-                    hist = np.zeros(16, dtype=np.int64)
-                    entropy = 0.0
-                    mean = 0.0
-                rows.append(
-                    (int(mid), kind, n, int(round(mean * 1000)),
-                     int(round(entropy * 1000)), hist.tolist())
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            nrows = len(pdf)
+            if nrows == 0:
+                continue
+            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=nrows)
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            row_idx = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+            # exact integer byte sums (float64 accumulation is exact < 2^53)
+            byte_sum = np.bincount(row_idx, weights=buf, minlength=nrows).astype(np.int64)
+            flat = row_idx * 16 + (buf >> 4).astype(np.int64)
+            hist = np.bincount(flat, minlength=nrows * 16).reshape(nrows, 16).astype(np.int64)
+            safe_n = np.maximum(lens, 1)
+            mean_millis = (1000 * byte_sum) // safe_n
+            p = hist / safe_n[:, None]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                plogp = np.where(hist > 0, p * np.log2(p, where=hist > 0), 0.0)
+            entropy_millis = np.rint(-plogp.sum(axis=1) * 1000).astype(np.int64)
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64").to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "n_bytes": lens,
+                    "byte_mean_millis": mean_millis,
+                    "byte_entropy_millis": entropy_millis,
+                }
+            )
+            for i in range(16):
+                out[f"hist_{i}"] = hist[:, i]
+            yield out
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 

@@ -13,10 +13,12 @@ Cross-engine parity rules used throughout (see operator docstrings):
   (``('0x'||substr(md5(s),1,8))::BIGINT``);
 - embedding similarity is computed on integer-quantized vectors
   (``round(x*1000)``), so dot products are exact in both engines (embeddings
-  are L2-normalized, so dot*1e-6 == cosine).
+  are L2-normalized, so dot*1e-6 == cosine); cosines use exact integer
+  norms (``isqrt``) and truncating division, LSH buckets use md5-derived
+  integer hyperplanes — every ANN/LSH query is fully oracle-checked.
 
-Ops with no SQL expression (numpy LSH planes, byte histograms) have no oracle
-entry -> the driver records its weaker rows-only check for them.
+The only rows-only entry left is ``multimodal_decode`` (the honest codec
+stub; DuckDB has no twin for the stand-in decoder).
 """
 
 from __future__ import annotations
@@ -38,6 +40,9 @@ BAD_PREFIXES = ["key agg", "batch window", "small fast"]
 JACCARD_THRESHOLD = 300           # permille
 MINHASH_HASHES, MINHASH_BANDS = 16, 4
 DOT_TOPK, DOT_PAIR_THRESHOLD = 20, 450_000   # quantized-dot scale: 1e6 == cos 1.0
+EMB_DIM = 64                                 # embeddings.parquet vector length
+ANN_PLANES = 8                               # single-probe ANN bucket bits
+PAIR_PLANES, PAIR_BAND_BITS = 16, 2          # banded LSH for the pair query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -390,6 +395,14 @@ def _dedup_minhash_lsh(spark, sf):
     )
 
 
+def _dedup_minhash_verified(spark, sf):
+    return docdedup.minhash_verified_pairs(
+        _t(spark, sf, "documents"),
+        num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        threshold_permille=JACCARD_THRESHOLD,
+    )
+
+
 def _dedup_simhash(spark, sf):
     return docdedup.simhash(_t(spark, sf, "documents"))
 
@@ -446,16 +459,37 @@ def _dedup_embedding_pairs(spark, sf):
     )
 
 
+def _query_qvec(spark, sf) -> list[int]:
+    """Quantized query vector — pushed-down vec_id filter + limit, not a
+    full-table collect."""
+    row = _quantized(spark, sf).filter(F.col("vec_id") == 0).limit(1).collect()
+    return [int(v) for v in row[0]["qv"]]
+
+
 def _ann_cosine_topk(spark, sf):
-    e = _t(spark, sf, "embeddings")
-    qvec = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
-    return similarity.cosine_topk(e, list(qvec), k=DOT_TOPK)
+    """Exact cosine top-k on the integer-quantized contract (cosine_micros =
+    trunc_div(1e6*dot, norm_a*norm_q), exact isqrt norms) — oracle-able,
+    unlike float cosine."""
+    return similarity.int_cosine_topk(_quantized(spark, sf), _query_qvec(spark, sf), k=DOT_TOPK)
 
 
 def _ann_lsh_topk(spark, sf):
-    e = _t(spark, sf, "embeddings")
-    qvec = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
-    return similarity.ann_lsh_topk(e, list(qvec), k=10, n_planes=8)
+    """ANN top-k over md5-derived integer hyperplane buckets (single probe,
+    exact integer-cosine re-rank in the query's bucket)."""
+    return similarity.int_lsh_topk(
+        _quantized(spark, sf), _query_qvec(spark, sf), k=10, n_planes=ANN_PLANES
+    )
+
+
+def _dedup_embedding_lsh(spark, sf):
+    """Scale twin of dedup_embedding_pairs: banded hyperplane LSH candidates
+    + exact integer-dot verify (plan: equi-joins only, no CartesianProduct).
+    2-bit bands because the fixture threshold is a weak cos 0.45; production
+    near-dup thresholds use 8-16 bit bands (see similarity.lsh_neardup_pairs)."""
+    return similarity.lsh_neardup_pairs(
+        _quantized(spark, sf), dim=EMB_DIM, dot_threshold=DOT_PAIR_THRESHOLD,
+        n_planes=PAIR_PLANES, band_bits=PAIR_BAND_BITS,
+    )
 
 
 def _multimodal_features(spark, sf):
@@ -522,8 +556,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_minhash_verified": _dedup_minhash_verified,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding_pairs": _dedup_embedding_pairs,
+        "dedup_embedding_lsh": _dedup_embedding_lsh,
         "text_quality": _text_quality,
         "text_langid": _text_langid,
         "text_fingerprint": _text_fingerprint,
@@ -595,25 +631,140 @@ def _simhash_sql() -> str:
     """
 
 
-def _minhash_sql() -> str:
+def _minhash_cte() -> str:
+    """Shared CTE chain sh -> hashed -> sig -> buckets (affine universal hash
+    family over ONE md5 per shingle — lockstep with docdedup.minhash_signatures)."""
+    p = docdedup.MINHASH_P
+    a, b = docdedup.minhash_coeffs(MINHASH_HASHES)
     rows = MINHASH_HASHES // MINHASH_BANDS
     mh = ", ".join(
-        "min(" + _H32.format(s=f"'s{i}:' || shingle") + f") AS mh_{i}"
-        for i in range(MINHASH_HASHES)
+        f"min(({a[i]} * h + {b[i]}) % {p}) AS mh_{i}" for i in range(MINHASH_HASHES)
     )
     band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        + " || '_' || ".join(f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows))
+        f"SELECT doc_id, {bb} AS band, "
+        + " || '_' || ".join(f"CAST(mh_{bb * rows + r} AS VARCHAR)" for r in range(rows))
         + " AS sig FROM sig"
-        for b in range(MINHASH_BANDS)
+        for bb in range(MINHASH_BANDS)
     )
+    h = _H32.format(s="shingle")
     return f"""
         WITH sh AS ({_SHINGLES}),
-        sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
-        buckets AS ({band_rows})
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM buckets a JOIN buckets b ON a.band = b.band AND a.sig = b.sig
-        WHERE a.doc_id < b.doc_id
+        hashed AS (SELECT doc_id, ({h}) % {p} AS h FROM sh),
+        sig AS (SELECT doc_id, {mh} FROM hashed GROUP BY doc_id),
+        buckets AS ({band_rows}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b ON a.band = b.band AND a.sig = b.sig
+            WHERE a.doc_id < b.doc_id
+        )
+    """
+
+
+def _minhash_sql() -> str:
+    return _minhash_cte() + "SELECT doc_a, doc_b FROM cand"
+
+
+def _minhash_verified_sql() -> str:
+    return (
+        _minhash_cte()
+        + f"""
+        , sizes AS (SELECT doc_id, count(*) AS sh_count FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS inter
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b,
+               (1000 * inter) // (sa.sh_count + sb.sh_count - inter) AS jaccard_permille
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE (1000 * inter) // (sa.sh_count + sb.sh_count - inter) >= {JACCARD_THRESHOLD}
+    """
+    )
+
+
+def _norm_cte(src: str = "embeddings") -> str:
+    """CTE chain q -> nrm: quantized vectors with exact integer norms
+    (float-sqrt estimate + integer correction — twin of similarity.isqrt_col)."""
+    return f"""
+        WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM {src}),
+        n0 AS (SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS nn FROM q),
+        n1 AS (SELECT *, CAST(floor(sqrt(CAST(nn AS DOUBLE))) AS BIGINT) AS s FROM n0),
+        n2 AS (SELECT vec_id, qv, nn, CASE WHEN s*s > nn THEN s-1 ELSE s END AS s2 FROM n1),
+        nrm AS (SELECT vec_id, qv, CASE WHEN (s2+1)*(s2+1) <= nn THEN s2+1 ELSE s2 END AS norm FROM n2)
+    """
+
+
+def _bucket_expr(qv_expr: str, planes: list[list[int]]) -> str:
+    """Packed sign-bit bucket over integer hyperplanes (twin of
+    similarity.int_lsh_bucket_col)."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({qv_expr}, [{','.join(map(str, pl))}]) > 0 THEN {1 << p} ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    )
+
+
+def _ann_cosine_sql() -> str:
+    return (
+        _norm_cte()
+        + f"""
+        , qq AS (SELECT qv, norm FROM nrm WHERE vec_id = 0)
+        SELECT vec_id,
+               (1000000 * CAST(list_dot_product(nrm.qv, (SELECT qv FROM qq)) AS BIGINT))
+                   // (norm * (SELECT norm FROM qq)) AS cosine_micros
+        FROM nrm
+        ORDER BY cosine_micros DESC, vec_id ASC LIMIT {DOT_TOPK}
+    """
+    )
+
+
+def _ann_lsh_sql() -> str:
+    from crawler_service_spark.operators.similarity import int_planes
+
+    planes = int_planes(EMB_DIM, ANN_PLANES)
+    return (
+        _norm_cte()
+        + f"""
+        , bk AS (SELECT vec_id, qv, norm, {_bucket_expr("qv", planes)} AS bucket FROM nrm),
+        qq AS (SELECT qv, norm, bucket FROM bk WHERE vec_id = 0)
+        SELECT vec_id,
+               (1000000 * CAST(list_dot_product(bk.qv, (SELECT qv FROM qq)) AS BIGINT))
+                   // (norm * (SELECT norm FROM qq)) AS cosine_micros
+        FROM bk
+        WHERE bucket = (SELECT bucket FROM qq)
+        ORDER BY cosine_micros DESC, vec_id ASC LIMIT 10
+    """
+    )
+
+
+def _embedding_lsh_sql() -> str:
+    from crawler_service_spark.operators.similarity import int_planes
+
+    planes = int_planes(EMB_DIM, PAIR_PLANES)
+    n_bands = PAIR_PLANES // PAIR_BAND_BITS
+    band_rows = " UNION ALL ".join(
+        "SELECT vec_id, "
+        + f"{bb} AS band, "
+        + _bucket_expr("qv", [planes[bb * PAIR_BAND_BITS + i] for i in range(PAIR_BAND_BITS)])
+        + " AS key FROM q"
+        for bb in range(n_bands)
+    )
+    return f"""
+        WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
+        buckets AS ({band_rows}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key
+            WHERE a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, CAST(list_dot_product(qa.qv, qb.qv) AS BIGINT) AS dot
+        FROM cand
+        JOIN q qa ON qa.vec_id = id_a
+        JOIN q qb ON qb.vec_id = id_b
+        WHERE CAST(list_dot_product(qa.qv, qb.qv) AS BIGINT) >= {DOT_PAIR_THRESHOLD}
     """
 
 
@@ -839,7 +990,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE (1000 * inter) // (sa.sh_count + sb.sh_count - inter) >= {JACCARD_THRESHOLD}
         """,
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_minhash_verified": _minhash_verified_sql(),
         "dedup_simhash": _simhash_sql(),
+        "dedup_embedding_lsh": _embedding_lsh_sql(),
+        "ann_cosine_topk": _ann_cosine_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
         "dedup_embedding_pairs": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot

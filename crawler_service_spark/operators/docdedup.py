@@ -13,8 +13,9 @@ DataFrame plans (shuffle-conscious; no driver-side loops):
 - **MinHash + LSH banding**: per-doc signature of ``num_hashes`` minima of
   seeded 32-bit hashes over shingles; band the signature, bucket-join on
   (band, band-signature) so candidate pairs come from equal buckets only —
-  O(n·bands) shuffle instead of O(n²) compare. Candidates then verified with
-  true Jaccard (LSH is the accelerator, verification keeps precision).
+  O(n·bands) shuffle instead of O(n²) compare. ``minhash_verified_pairs``
+  composes the banding with a candidate-only true-Jaccard verification stage
+  (LSH is the accelerator, verification keeps precision).
 - **SimHash**: 32-bit sign-aggregated token-hash fingerprint per doc
   (explode + per-bit vote sum + reassemble); equal simhash -> near-dup group.
 - **embedding cosine**: see operators/similarity.py.
@@ -28,7 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textquality import h32, tokens_col
+from ..plans.partitioning import widen
+from .textquality import h32, h32_py, tokens_col
 
 SIMHASH_BITS = 32
 
@@ -42,8 +44,15 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+def shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles per doc: (doc_id, shingle).
+
+    ``distinct=True`` gives set semantics (Jaccard); minhash passes False —
+    min over duplicates equals min over the set, and skipping the distinct
+    saves a full shuffle of the largest intermediate.
+    """
     toks = tokens_col(text_col)
     # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]); emit [] for short docs
     sh = F.when(
@@ -53,7 +62,8 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    out = widen(docs).select("doc_id", F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -94,13 +104,32 @@ def ngram_jaccard_pairs(
     )
 
 
+MINHASH_P = 2147483647  # Mersenne prime 2^31-1: a*h+b stays < 2^62, no overflow
+
+
+def minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Affine hash-family coefficients (a_i, b_i), h32-derived so both
+    engines embed the identical literals."""
+    a = [h32_py(f"mh-a:{i}") % (MINHASH_P - 1) + 1 for i in range(num_hashes)]
+    b = [h32_py(f"mh-b:{i}") % MINHASH_P for i in range(num_hashes)]
+    return a, b
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 16, n: int = 3, text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, mh_0..mh_{H-1}): per-doc minima of seeded shingle hashes."""
-    sh = shingles(docs, n=n, text_col=text_col)
+    """(doc_id, mh_0..mh_{H-1}): per-doc minima of a universal hash family.
+
+    Each shingle is md5-hashed ONCE (h = h32(shingle) mod p); the H functions
+    are affine maps (a_i*h + b_i) mod p over that single hash — 16x fewer md5
+    invocations than hashing per-function, identical math in DuckDB.
+    """
+    a, b = minhash_coeffs(num_hashes)
+    sh = shingles(docs, n=n, text_col=text_col, distinct=False).withColumn(
+        "h", F.pmod(h32(F.col("shingle")), F.lit(MINHASH_P))
+    )
     aggs = [
-        F.min(h32(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        F.min((F.lit(a[i]) * F.col("h") + F.lit(b[i])) % F.lit(MINHASH_P)).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -144,9 +173,50 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_verified_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold_permille: int = 300,
+    text_col: str = "text",
+) -> DataFrame:
+    """The full LSH dedup pipeline: minhash banding proposes candidates, true
+    n-gram Jaccard verifies them — the precision gate every real dedup run
+    needs (ref analogue: dedup-before-work, legacy/posix_crawler.py:131).
+
+    The Jaccard intersection join runs ONLY over candidate pairs (the
+    candidate set is the probe side), so the quadratic shingle self-join of
+    ngram_jaccard_pairs never happens — this is the 10^10-doc shape.
+    """
+    cand = minhash_lsh_pairs(docs, num_hashes=num_hashes, bands=bands, n=n, text_col=text_col)
+    sh = shingles(docs, n=n, text_col=text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sh_count"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sh_count").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sh_count").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("div(1000 * inter, size_a + size_b - inter)").alias("jaccard_permille"),
+        )
+        .filter(F.col("jaccard_permille") >= threshold_permille)
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """32-bit SimHash per doc: per-bit majority vote over token hashes."""
-    toks = docs.select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
+    toks = widen(docs).select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
     h = toks.withColumn("h", h32("tok"))
     votes = [
         F.sum(

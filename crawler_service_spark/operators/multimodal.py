@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from ..plans.partitioning import widen
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -91,7 +93,7 @@ def extract_byte_features(media: DataFrame) -> DataFrame:
                 out[f"hist_{i}"] = hist[:, i]
             yield out
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return widen(media).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 DECODED_SCHEMA = T.StructType(
@@ -134,7 +136,7 @@ def decode_media(media: DataFrame, fake_decode: bool = False) -> DataFrame:
                 rows, columns=[f.name for f in DECODED_SCHEMA.fields]
             )
 
-    return media.mapInPandas(run, schema=DECODED_SCHEMA)
+    return widen(media).mapInPandas(run, schema=DECODED_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 256) -> DataFrame:
@@ -163,4 +165,4 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return media.mapInPandas(run, schema=schema)
+    return widen(media).mapInPandas(run, schema=schema)

@@ -88,6 +88,189 @@ def cosine_neardup_pairs(
     )
 
 
+# --------------------------------------------------------------------------- #
+# integer LSH / integer cosine — the cross-engine-verifiable contract
+# --------------------------------------------------------------------------- #
+#
+# Everything below is defined on 1000-quantized embedding vectors
+# (qv = round(x*1000), array<long>) with md5-prefix-derived integer
+# hyperplanes, so Spark and DuckDB compute bit-identical buckets, dots and
+# cosines: that is what lets the LSH queries be oracle-checked instead of
+# rows-only. The numpy hyperplane path further down stays as the raw-float
+# production variant (one matmul per Arrow batch).
+
+
+from .textquality import h32_py
+
+
+def int_planes(dim: int, n_planes: int, tag: str = "plane") -> list[list[int]]:
+    """Deterministic integer hyperplanes, coefficients in [-1000, 1000],
+    derived from the shared md5-prefix hash contract (no numpy rng)."""
+    return [
+        [h32_py(f"{tag}:{p}:{j}") % 2001 - 1000 for j in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def int_dot_col(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two array<long> columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def int_lsh_bits_col(qv: Column, planes: list[list[int]]) -> list[Column]:
+    """One boolean sign-bit column per integer hyperplane."""
+    return [
+        int_dot_col(qv, F.array(*[F.lit(c) for c in plane])) > 0 for plane in planes
+    ]
+
+
+def int_lsh_bucket_col(qv: Column, planes: list[list[int]]) -> Column:
+    """Integer LSH bucket = packed sign bits of the plane dots."""
+    acc = F.lit(0).cast("long")
+    for p, bit in enumerate(int_lsh_bits_col(qv, planes)):
+        acc = acc + F.when(bit, F.lit(1 << p)).otherwise(0)
+    return acc
+
+
+def int_bucket_py(qvec: list[int], planes: list[list[int]]) -> int:
+    """Driver-side twin of int_lsh_bucket_col for the query vector."""
+    b = 0
+    for p, plane in enumerate(planes):
+        if sum(x * y for x, y in zip(qvec, plane)) > 0:
+            b |= 1 << p
+    return b
+
+
+def isqrt_col(x: Column) -> Column:
+    """Exact floor-sqrt of a nonnegative long: float sqrt + integer correction
+    (the float estimate is within 1 of the true root for x < 2^52)."""
+    s = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    s = F.when(s * s > x, s - 1).otherwise(s)
+    return F.when((s + 1) * (s + 1) <= x, s + 1).otherwise(s)
+
+
+def trunc_div_col(a: Column, b: Column) -> Column:
+    """Truncating integer division on longs (matches DuckDB ``//``): strip the
+    truncation remainder first, then the double division is exact (values
+    stay < 2^53 for every contract in this module)."""
+    return ((a - a % b) / b).cast("long")
+
+
+def cosine_micros_col(dot: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Integer cosine*1e6 = trunc_div(1e6*dot, norm_a*norm_b)."""
+    return trunc_div_col(F.lit(1000000) * dot, norm_a * norm_b)
+
+
+def int_cosine_topk(
+    quantized: DataFrame,
+    qvec: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    qv_col: str = "qv",
+) -> DataFrame:
+    """Exact integer-cosine top-k on quantized vectors: cosine_micros =
+    trunc_div(1e6 * dot, norm * norm_q) with exact integer norms. Top-k is
+    TakeOrderedAndProject; bit-identical in DuckDB."""
+    import math
+
+    nq = math.isqrt(sum(v * v for v in qvec))
+    lit_q = F.array(*[F.lit(int(v)) for v in qvec])
+    qv = F.col(qv_col)
+    scored = quantized.select(
+        id_col,
+        cosine_micros_col(
+            int_dot_col(qv, lit_q), isqrt_col(int_dot_col(qv, qv)), F.lit(nq)
+        ).alias("cosine_micros"),
+    )
+    return scored.orderBy(F.desc("cosine_micros"), F.col(id_col).asc()).limit(k)
+
+
+def int_lsh_topk(
+    quantized: DataFrame,
+    qvec: list[int],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    qv_col: str = "qv",
+) -> DataFrame:
+    """ANN top-k: scan only the query's integer-LSH bucket, exact integer
+    cosine re-rank inside. Single-probe; multi-probe (flip low-confidence
+    bits) is the recall lever at scale."""
+    planes = int_planes(len(qvec), n_planes)
+    qbucket = int_bucket_py(qvec, planes)
+    bucketed = quantized.withColumn("bucket", int_lsh_bucket_col(F.col(qv_col), planes))
+    return int_cosine_topk(
+        bucketed.filter(F.col("bucket") == qbucket), qvec, k=k, id_col=id_col, qv_col=qv_col
+    )
+
+
+def lsh_band_buckets(
+    quantized: DataFrame,
+    planes: list[list[int]],
+    band_bits: int,
+    id_col: str = "vec_id",
+    qv_col: str = "qv",
+) -> DataFrame:
+    """(id, band, key): banded sign-bit bucket keys over integer hyperplanes.
+    len(planes) must be a multiple of band_bits."""
+    bits = int_lsh_bits_col(F.col(qv_col), planes)
+    n_bands = len(planes) // band_bits
+    bands = []
+    for b in range(n_bands):
+        key = F.lit(0).cast("long")
+        for i in range(band_bits):
+            key = key + F.when(bits[b * band_bits + i], F.lit(1 << i)).otherwise(0)
+        bands.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    return quantized.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*bands)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def lsh_neardup_pairs(
+    quantized: DataFrame,
+    dim: int,
+    dot_threshold: int,
+    n_planes: int = 16,
+    band_bits: int = 2,
+    id_col: str = "vec_id",
+    qv_col: str = "qv",
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: banded hyperplane LSH generates
+    candidates (equi-join on (band, key) — never a cartesian product), exact
+    integer dot verifies, so precision is 1.0 by construction and recall is
+    the banding probability (1 - (1 - p^band_bits)^n_bands, p = 1 - theta/pi).
+
+    ``band_bits`` is the scale/recall lever: production near-dup thresholds
+    (cos >= 0.9) want 8-16 bits per band (65k+ buckets, tiny candidate sets);
+    the registered small-sf query runs 2-bit bands because its fixture
+    threshold is a weak cos 0.45 (see __spark_entry__). Candidate volume per
+    band is sum of bucket_size^2 — at 10^10 rows the bucket count, not n,
+    bounds the join.
+    """
+    planes = int_planes(dim, n_planes)
+    buckets = lsh_band_buckets(quantized, planes, band_bits, id_col=id_col, qv_col=qv_col)
+    a = buckets.select(F.col("id").alias("id_a"), "band", "key")
+    b = buckets.select(F.col("id").alias("id_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    qa = quantized.select(F.col(id_col).alias("id_a"), F.col(qv_col).alias("qa"))
+    qb = quantized.select(F.col(id_col).alias("id_b"), F.col(qv_col).alias("qb"))
+    return (
+        cand.join(qa, "id_a")
+        .join(qb, "id_b")
+        .select("id_a", "id_b", int_dot_col(F.col("qa"), F.col("qb")).alias("dot"))
+        .filter(F.col("dot") >= dot_threshold)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((dim, n_planes)).astype(np.float64)

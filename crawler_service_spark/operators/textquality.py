@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.partitioning import widen
+
 TOKEN_SPLIT = r"[^a-z0-9]+"
 
 # marker-word lists for the n-gram/stopword language heuristic
@@ -30,6 +32,15 @@ def h32(col: Column | str) -> Column:
     """32-bit md5-prefix hash, reproducible in DuckDB (see module docstring)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def h32_py(s: str) -> int:
+    """Driver-side twin of h32 — used to derive deterministic constants
+    (minhash affine coefficients, integer LSH planes) embedded as literals
+    in BOTH engines' plans."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
 def tokens_col(text: Column | str) -> Column:
@@ -58,7 +69,7 @@ def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit(0).cast("long"),
     )
     toks = token_count_col(t)
-    return docs.select(
+    return widen(docs).select(
         "doc_id",
         F.length(t).cast("long").alias("char_count"),
         toks.cast("long").alias("token_count"),
@@ -92,7 +103,7 @@ def langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
     sel = [F.col("doc_id")]
     sel += [scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS]
     sel.append(pred.alias("pred_lang"))
-    return docs.select(*sel)
+    return widen(docs).select(*sel)
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -100,7 +111,7 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ``(pos+1) * h32(token) mod 2^31`` — a rolling-hash-style signature that
     changes when tokens reorder, computed entirely with explode + sum (scales
     as a plain aggregation; no UDF)."""
-    toks = docs.select("doc_id", F.posexplode(tokens_col(text_col)).alias("pos", "tok"))
+    toks = widen(docs).select("doc_id", F.posexplode(tokens_col(text_col)).alias("pos", "tok"))
     return toks.groupBy("doc_id").agg(
         F.pmod(F.sum((F.col("pos") + 1) * h32("tok")), F.lit(2147483648)).alias("fingerprint")
     )

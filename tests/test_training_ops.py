@@ -1,0 +1,137 @@
+"""Training-data pipeline operators: LSH embedding dedup at the production
+regime (planted near-dups, high threshold, narrow buckets), minhash+Jaccard
+verification precision, integer-cosine contract internals, and the vectorized
+byte-feature extractor vs a straightforward per-row reference."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_service_spark.operators import docdedup, multimodal, similarity
+
+
+def _quantize(vecs: np.ndarray) -> list[list[int]]:
+    return [[int(v) for v in np.round(row * 1000)] for row in vecs]
+
+
+@pytest.fixture(scope="module")
+def planted_embeddings(spark):
+    """300 random unit vectors + 30 planted near-dups (cosine ~0.98-0.999)."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((300, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dups = base[:30] + 0.03 * rng.standard_normal((30, 32))
+    dups /= np.linalg.norm(dups, axis=1, keepdims=True)
+    vecs = np.vstack([base, dups])
+    rows = [(i, q) for i, q in enumerate(_quantize(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, qv array<long>").repartition(4)
+    return df, vecs
+
+
+def _exact_pairs(df, threshold):
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", similarity.int_dot_col(F.col("qa"), F.col("qb")).alias("dot"))
+        .filter(F.col("dot") >= threshold)
+    )
+
+
+def test_lsh_neardup_pairs_production_regime(spark, planted_embeddings):
+    """8-bit bands at a real near-dup threshold (cos ~0.95): precision 1.0 by
+    construction, recall >= 0.9 against the exact crossJoin, and the plan must
+    be equi-joins only."""
+    df, _ = planted_embeddings
+    threshold = 950_000
+    exact = {(r["id_a"], r["id_b"]) for r in _exact_pairs(df, threshold).collect()}
+    assert len(exact) >= 20, "fixture should plant enough near-dup pairs"
+    # 4 bands x 8 bits: recall = 1-(1-p^8)^4 with p = 1 - theta/pi ~ 0.95
+    # for the planted cos-0.98 dups -> ~0.98 expected
+    got = similarity.lsh_neardup_pairs(
+        df, dim=32, dot_threshold=threshold, n_planes=32, band_bits=8
+    )
+    plan = got._sc._jvm.PythonSQLUtils.explainString(got._jdf.queryExecution(), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert pairs <= exact, "exact-dot verification must give precision 1.0"
+    recall = len(pairs) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.2f} below 0.9 at 4x8-bit bands"
+
+
+def test_int_cosine_topk_matches_numpy(spark, planted_embeddings):
+    df, vecs = planted_embeddings
+    qrow = df.filter(F.col("vec_id") == 5).collect()[0]["qv"]
+    got = similarity.int_cosine_topk(df, [int(v) for v in qrow], k=10).collect()
+    q = np.array(qrow, dtype=np.float64)
+    all_q = np.array([r["qv"] for r in df.orderBy("vec_id").collect()], dtype=np.float64)
+    cos = (all_q @ q) / (np.linalg.norm(all_q, axis=1) * np.linalg.norm(q))
+    top = np.argsort(-cos)[:10]
+    assert [r["vec_id"] for r in got] == sorted(top, key=lambda i: (-cos[i], i))
+    # integer cosine_micros is within quantization error of the float cosine
+    for r in got:
+        assert abs(r["cosine_micros"] / 1e6 - cos[r["vec_id"]]) < 5e-3
+
+
+def test_isqrt_and_trunc_div_contract(spark):
+    vals = [0, 1, 2, 3, 4, 15, 16, 17, 999, 10**6, 10**12, (1 << 52) - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = df.select("x", similarity.isqrt_col(F.col("x")).alias("s")).collect()
+    for r in got:
+        assert r["s"] == math.isqrt(r["x"]), r
+    dd = spark.createDataFrame([(7, 2), (-7, 2), (450000, 7), (-450000, 7)], "a long, b long")
+    out = {(r["a"]): r["d"] for r in dd.select("a", similarity.trunc_div_col(F.col("a") * 1, F.col("b")).alias("d")).collect()}
+    assert out[7] == 3 and out[-7] == -3  # truncation, matching DuckDB //
+    assert out[450000] == 64285 and out[-450000] == -64285
+
+
+def test_minhash_verified_precision(spark):
+    """Verified pairs == true-Jaccard pairs restricted to the candidate set:
+    every survivor must meet the threshold exactly (no false positives), and
+    near-identical planted docs must survive."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    docs = []
+    for i in range(40):
+        docs.append((i, f"unique document number {i} " + " ".join(f"tok{i}_{j}" for j in range(20))))
+    docs.append((100, base))
+    docs.append((101, base + " extra"))      # near-dup of 100
+    docs.append((102, base.replace("quick", "slow")))  # near-dup of 100
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(4)
+    got = docdedup.minhash_verified_pairs(df, threshold_permille=300).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert (100, 101) in pairs
+    for r in got:
+        assert r["jaccard_permille"] >= 300
+    # verification must never pass a pair the exact Jaccard query rejects
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in docdedup.ngram_jaccard_pairs(df, threshold_permille=300).collect()
+    }
+    assert pairs <= exact
+
+
+def test_byte_features_vectorized_matches_reference(spark):
+    payloads = [b"", b"\x00", b"\xff" * 10, bytes(range(256)) * 3, b"hello world \xf0\x9f\x98\x80"]
+    rows = [(i, "image", p, {}) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA).repartition(2)
+    got = {r["media_id"]: r for r in multimodal.extract_byte_features(df).collect()}
+    for i, p in enumerate(payloads):
+        arr = np.frombuffer(p, dtype=np.uint8)
+        n = len(arr)
+        r = got[i]
+        assert r["n_bytes"] == n
+        assert r["byte_mean_millis"] == (1000 * int(arr.sum())) // max(n, 1)
+        hist = np.bincount(arr >> 4, minlength=16) if n else np.zeros(16, int)
+        for k in range(16):
+            assert r[f"hist_{k}"] == hist[k]
+        if n:
+            prob = hist[hist > 0] / n
+            ent = float(-(prob * np.log2(prob)).sum())
+            assert abs(r["byte_entropy_millis"] - round(ent * 1000)) <= 1
+        else:
+            assert r["byte_entropy_millis"] == 0

@@ -70,15 +70,22 @@ def canonicalize_url_col(url: Column | str) -> Column:
     return F.when(has_scheme, F.concat(scheme, F.lit("://"), auth, path)).otherwise(u)
 
 
+# canonical URLs have a lowercased scheme; anchored like the python twins so a
+# scheme-less string containing '://' mid-string never parses as a URL
+_ANCHORED_SCHEME = r"^[a-z][a-z0-9+.\-]*://"
+
+
 def host_col(canonical_url: Column | str) -> Column:
-    """Host (authority minus port) of an already-canonical URL."""
+    """Host (authority minus port) of an already-canonical URL; '' when the
+    input has no anchored scheme (matches host_py)."""
     u = F.col(canonical_url) if isinstance(canonical_url, str) else canonical_url
     pos = F.instr(u, "://")
     rest = u.substr(pos + 3, F.length(u))
     auth = F.substring_index(rest, "/", 1)
-    return F.when(pos == 0, F.lit("")).otherwise(
-        F.regexp_replace(auth, r":\d+$", "")  # tiny regex on the short authority
-    )
+    return F.when(
+        u.rlike(_ANCHORED_SCHEME),
+        F.regexp_replace(auth, r":\d+$", ""),  # tiny regex on the short authority
+    ).otherwise(F.lit(""))
 
 
 def path_col(canonical_url: Column | str) -> Column:
@@ -86,9 +93,10 @@ def path_col(canonical_url: Column | str) -> Column:
     pos = F.instr(u, "://")
     rest = u.substr(pos + 3, F.length(u))
     slash = F.instr(rest, "/")
-    p = F.when(pos == 0, u).otherwise(  # scheme-less input passes through (python twin parity)
-        F.when(slash > 0, rest.substr(slash, F.length(rest))).otherwise(F.lit(""))
-    )
+    p = F.when(
+        u.rlike(_ANCHORED_SCHEME),
+        F.when(slash > 0, rest.substr(slash, F.length(rest))).otherwise(F.lit("")),
+    ).otherwise(u)  # scheme-less input passes through (python twin parity)
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 

@@ -45,6 +45,7 @@ def connected_components(
         .localCheckpoint()
     )
 
+    converged = False
     for _ in range(max_rounds):
         # candidate labels flowing across edges this round
         flowed = (
@@ -70,5 +71,14 @@ def connected_components(
         )
         labels = joined.drop("changed").localCheckpoint()
         if int(obs.get["n_changed"] or 0) == 0:
+            converged = True
             break
+    if not converged:
+        # loud failure beats silently-wrong components (graph diameter >
+        # max_rounds): callers with legitimately deep graphs should raise
+        # max_rounds or switch to large-star/small-star
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds; "
+            "graph diameter exceeds max_rounds"
+        )
     return labels

@@ -118,7 +118,7 @@ def gen_families_grouped(docs: DataFrame, group_col: str = "source") -> DataFram
         digest = hashlib.md5(",".join(str(i) for i in ids).encode()).hexdigest()
         return pd.DataFrame(
             {
-                "source": [pdf[group_col].iloc[0]],
+                group_col: [pdf[group_col].iloc[0]],
                 "n_files": [len(ids)],
                 "total_chars": [int(pdf["n_chars"].sum())],
                 "members_md5": [digest],
@@ -126,5 +126,6 @@ def gen_families_grouped(docs: DataFrame, group_col: str = "source") -> DataFram
         )
 
     return docs.select(group_col, "doc_id", "n_chars").groupBy(group_col).applyInPandas(
-        fam, schema="source string, n_files long, total_chars long, members_md5 string"
+        fam,
+        schema=f"{group_col} string, n_files long, total_chars long, members_md5 string",
     )

@@ -27,16 +27,30 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import uuid
+from collections import defaultdict
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 class ManifestCatalog:
+    """Thread-safety: manifest sequencing (read seq -> rename) is guarded by a
+    per-table lock, so the engine's concurrent per-iteration commits (7 threads,
+    engine.run_iteration) are safe even if two ever target the same table.
+    Cross-PROCESS writers still need external coordination (real Iceberg uses
+    the catalog's atomic swap for this)."""
+
     def __init__(self, root: str, spark: SparkSession):
         self.root = root
         self.spark = spark
         os.makedirs(root, exist_ok=True)
+        self._locks: dict[str, threading.Lock] = defaultdict(threading.Lock)
+        self._locks_guard = threading.Lock()
+
+    def _lock(self, table: str) -> threading.Lock:
+        with self._locks_guard:
+            return self._locks[table]
 
     # ------------------------------------------------------------------ paths
     def _table_dir(self, table: str) -> str:
@@ -82,15 +96,21 @@ class ManifestCatalog:
             df = df.repartition(coalesce)
         # a crashed earlier attempt may have left partial data; overwrite it
         df.write.mode("overwrite").parquet(data_abs)
+        self._publish(table, commit_id, mode, data_rel)
+        return True
+
+    def _publish(self, table: str, commit_id: str, mode: str, data_rel: str) -> None:
+        """Atomically append the manifest; the per-table lock makes the
+        seq-read + rename race-free across concurrent commit threads."""
         mdir = self._manifest_dir(table)
         os.makedirs(mdir, exist_ok=True)
-        seq = len(self._manifests(table))
-        manifest = {"seq": seq, "commit_id": commit_id, "mode": mode, "data": data_rel}
-        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.rename(tmp, os.path.join(mdir, f"{seq:06d}-{commit_id}.json"))
-        return True
+        with self._lock(table):
+            seq = len(self._manifests(table))
+            manifest = {"seq": seq, "commit_id": commit_id, "mode": mode, "data": data_rel}
+            tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.rename(tmp, os.path.join(mdir, f"{seq:06d}-{commit_id}.json"))
 
     def commit_rows(
         self, table: str, rows: list[dict], schema, commit_id: str, mode: str = "append"
@@ -109,14 +129,7 @@ class ManifestCatalog:
         pq.write_table(
             pa.table(cols, schema=schema), os.path.join(data_abs, "part-0.parquet")
         )
-        mdir = self._manifest_dir(table)
-        os.makedirs(mdir, exist_ok=True)
-        seq = len(self._manifests(table))
-        manifest = {"seq": seq, "commit_id": commit_id, "mode": mode, "data": data_rel}
-        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.rename(tmp, os.path.join(mdir, f"{seq:06d}-{commit_id}.json"))
+        self._publish(table, commit_id, mode, data_rel)
         return True
 
     # ------------------------------------------------------------------ reads

@@ -1,3 +1,3 @@
-from .ingest import ingest_seed_stream
+from .ingest import ingest_seed_stream, read_seed_sink
 
-__all__ = ["ingest_seed_stream"]
+__all__ = ["ingest_seed_stream", "read_seed_sink"]

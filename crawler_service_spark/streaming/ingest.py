@@ -7,8 +7,15 @@ directory, and each micro-batch is canonicalized, robots-filtered, deduplicated
 in-batch, and appended to the frontier via ``foreachBatch`` —
 ``Trigger.AvailableNow`` gives the same "drain what's there, then stop"
 semantics as the reference's ``WaitTimeSeconds`` long poll with empty-poll
-termination (application.py:194-215), with exactly-once per file from the
-streaming checkpoint.
+termination (application.py:194-215).
+
+Exactly-once per file: the streaming checkpoint dedupes *inputs*, and the
+sink write is made idempotent by ``batch_id`` — each micro-batch overwrites
+its own deterministic ``batch-{id}`` subdirectory, so a crash between the
+sink write and the checkpoint commit replays into the same directory instead
+of appending duplicates. Readers load the sink with
+``spark.read.option("recursiveFileLookup", "true").parquet(sink_dir)``
+(helper: ``read_seed_sink``).
 
 The crawl loop itself stays batch-iterative by design (each iteration must be
 a resumable, deterministic DataFrame job — SURVEY.md §2.10); streaming covers
@@ -16,6 +23,8 @@ the *ingest edge* where new work arrives asynchronously.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,8 +66,10 @@ def ingest_seed_stream(
         s = s.groupBy("crawl_id", "url", "url_hash", "host", "path").agg(
             F.min("seed_order").alias("seed_order")
         )
-        s.write.mode("append").parquet(sink_dir)
+        # idempotent by batch_id: a replayed batch overwrites its own subdir
+        s.write.mode("overwrite").parquet(os.path.join(sink_dir, f"batch-{batch_id}"))
 
+    os.makedirs(sink_dir, exist_ok=True)  # sink readable even if zero batches
     stream = (
         spark.readStream.schema(SEED_SCHEMA)
         .parquet(seed_dir)
@@ -69,3 +80,8 @@ def ingest_seed_stream(
     )
     stream.awaitTermination()
     return n_batches
+
+
+def read_seed_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Read the staged frontier rows across all per-batch subdirectories."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(sink_dir)

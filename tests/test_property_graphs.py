@@ -115,3 +115,14 @@ def test_engine_equals_oracle_on_random_graphs(spark, seed):
         assert got_texts == want.texts
     finally:
         shutil.rmtree(wd, ignore_errors=True)
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest as _pytest
+    from crawler_service_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_rounds=2)

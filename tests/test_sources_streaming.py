@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from crawler_service_spark.operators.graph import connected_components
 from crawler_service_spark.sources import read_pages, scan_report
-from crawler_service_spark.streaming import ingest_seed_stream
+from crawler_service_spark.streaming import ingest_seed_stream, read_seed_sink
 
 
 def test_scan_prunes_and_pushes(spark, small_fixture):
@@ -40,7 +40,7 @@ def test_streaming_seed_ingest_exactly_once(spark, tmp_path):
     )
     batch1.coalesce(1).write.mode("append").parquet(seed_dir)
     ingest_seed_stream(spark, seed_dir, robots, ckpt, sink)
-    out1 = spark.read.parquet(sink)
+    out1 = read_seed_sink(spark, sink)
     assert [r["url"] for r in out1.collect()] == ["https://x.com/a"]
     assert out1.collect()[0]["seed_order"] == 0  # earliest dupe wins
 
@@ -49,7 +49,7 @@ def test_streaming_seed_ingest_exactly_once(spark, tmp_path):
         [("c1", "https://x.com/b", 3)], "crawl_id string, url string, seed_order long"
     ).coalesce(1).write.mode("append").parquet(seed_dir)
     ingest_seed_stream(spark, seed_dir, robots, ckpt, sink)
-    urls = sorted(r["url"] for r in spark.read.parquet(sink).collect())
+    urls = sorted(r["url"] for r in read_seed_sink(spark, sink).collect())
     assert urls == ["https://x.com/a", "https://x.com/b"]
 
 

@@ -64,3 +64,13 @@ def test_extension_and_class(spark):
     assert [(r["e"], r["c"]) for r in rows] == [
         ("txt", "text"), (None, "other"), ("gz", "compressed"), ("png", "images")
     ]
+
+
+def test_host_path_schemeless_with_midstring_separator(spark):
+    """A scheme-less string containing '://' mid-string must parse like the
+    python twins: host '' and path = the whole string (seed()/ingest derive
+    host/path without the crawl loop's rlike guard)."""
+    weird = ["1http://a/b", "nota url ://x/y", "file.txt"]
+    df = spark.createDataFrame([(u,) for u in weird], "url string")
+    rows = df.select(host_col("url").alias("h"), path_col("url").alias("p")).collect()
+    assert [(r["h"], r["p"]) for r in rows] == [(host_py(u), path_py(u)) for u in weird]

@@ -311,6 +311,35 @@ def _c5_mime_map(spark, sf):
     )
 
 
+# doc_id % 6 -> payload prefix for the content-sniff query (C5/UD4 full form)
+SNIFF_PREFIXES = [
+    bytes.fromhex("1F8B08"),           # gzip
+    bytes.fromhex("504B0304"),         # zip
+    bytes.fromhex("89504E470D0A1A0A"),  # png
+    bytes.fromhex("25504446"),         # pdf ('%PDF')
+    b"<!DOCTYPE html>",                # html probe
+    b"",                               # bare text -> octet-stream fallback
+]
+
+
+def _c5_mime_sniff(spark, sf):
+    """C5/UD4 full form: content-based mime sniff over binary payloads via
+    the magic-byte prefix table (ref: magic.Magic(mime=True),
+    crawlers/local_funcx.py:128,163) — not the ext->mime mapping join."""
+    from crawler_service_spark.operators.content import sniff_mime_col
+
+    d = _t(spark, sf, "documents")
+    prefix = F.element_at(
+        F.array(*[F.lit(p) for p in SNIFF_PREFIXES]), (F.col("doc_id") % 6 + 1).cast("int")
+    )
+    payload = F.concat(prefix, F.encode("text", "utf-8"))
+    return (
+        d.select(sniff_mime_col(payload).alias("mime"))
+        .groupBy("mime")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _w2_host_budget_cap(spark, sf):
     """W2: per-key budget cap with *variable* budgets — the politeness-window
     core (budget = floor(iteration/crawl_delay); here budget = user_id%3+1)."""
@@ -540,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_compressed_predicate": _f3_compressed_predicate,
         "c2_url_build": _c2_url_build,
         "c5_mime_map": _c5_mime_map,
+        "c5_mime_sniff": _c5_mime_sniff,
         "j6_group_edges": _j6_group_edges,
         "j6_connected_components": _j6_connected_components,
         "u4_frontier_merge": _u4_frontier_merge,
@@ -684,6 +714,25 @@ def _minhash_verified_sql() -> str:
         WHERE (1000 * inter) // (sa.sh_count + sb.sh_count - inter) >= {JACCARD_THRESHOLD}
     """
     )
+
+
+def _mime_sniff_sql() -> str:
+    from crawler_service_spark.operators.content import sniff_mime_sql
+
+    def blob_lit(b: bytes) -> str:
+        return "'" + "".join(f"\\x{x:02X}" for x in b) + "'::BLOB"
+
+    branches = " ".join(
+        f"WHEN {i} THEN {blob_lit(p)}" for i, p in enumerate(SNIFF_PREFIXES)
+    )
+    case = sniff_mime_sql("substr(hex(payload), 1, 16)")
+    return f"""
+        WITH p AS (
+            SELECT (CASE doc_id % 6 {branches} END) || encode(text) AS payload
+            FROM documents
+        )
+        SELECT {case} AS mime, count(*) AS n FROM p GROUP BY 1
+    """
 
 
 def _norm_cte(src: str = "embeddings") -> str:
@@ -909,6 +958,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM exts GROUP BY 1
         """,
+        "c5_mime_sniff": _mime_sniff_sql(),
         "w2_host_budget_cap": """
             SELECT user_id, event_id, rn, budget FROM (
                 SELECT user_id, event_id,

@@ -9,8 +9,12 @@ Each iteration k is a pure DataFrame job over the snapshot of iteration k-1:
         -> robots filter -> in-batch first-occurrence dedup
         -> bloom fast-path + exact anti-join vs seen
         -> deterministic global seq assignment (distributed two-pass)
-        -> commit pages_out / extraction_jobs / seen / bloom / pending_k /
-           crawl_order / crawl_state   (crawl_state last = the checkpoint)
+        -> commit pages_out / extraction_jobs / seen / bloom / crawl_order /
+           frontier_pending (DELTA: append new rows) / frontier_tombstones
+           (append scheduled urls) / crawl_state  (crawl_state last = the
+           checkpoint; pending is reconstructed on read as appends ANTI
+           tombstones, compacted when garbage crosses the configured ratio —
+           per-iteration write bytes scale with the batch, never the frontier)
 
 All reads are snapshot-anchored (``upto=...-iter-{k-1}``) and all commits are
 idempotent by commit-id, so killing the job anywhere and calling ``resume()``
@@ -56,6 +60,7 @@ STATE_SCHEMA = pa.schema(
         ("crawl_id", pa.string()), ("iteration", pa.int32()), ("status", pa.string()),
         ("scheduled", pa.int64()), ("fetched", pa.int64()), ("failed", pa.int64()),
         ("new_urls", pa.int64()), ("frontier_pending", pa.int64()),
+        ("tombstones", pa.int64()),  # garbage rows in the pending append chain
         ("next_seq", pa.int64()), ("families", pa.int64()),
         ("bytes_crawled", pa.int64()), ("wall_ms", pa.int64()),
     ]
@@ -89,6 +94,17 @@ class CrawlConfig:
     # tiny iterations (one fewer job), but it caps parallelism on big
     # batches. Large-frontier deployments should set True.
     eager_checkpoints: bool = False
+    # Frontier commits are INCREMENTAL: each iteration appends its new rows to
+    # frontier_pending and its scheduled urls to frontier_tombstones, so
+    # per-iteration write bytes scale with the BATCH, not the frontier (a
+    # 10^10-row frontier is never rewritten per iteration). Readers
+    # reconstruct pending = appends ANTI tombstones. When garbage reaches
+    # compact_ratio x live rows, that iteration's commits switch to a full
+    # overwrite (materialized pending + empty tombstones), bounding the read
+    # amplification at (1 + compact_ratio). 0 = compact every iteration
+    # (the round-1 full-rewrite behavior); raise it to trade read cost for
+    # fewer big writes.
+    frontier_compact_ratio: float = 1.0
     max_iterations: int = 10_000
 
 
@@ -173,11 +189,23 @@ class CrawlEngine:
             [dict(
                 crawl_id=self._crawl_id(frontier), iteration=0, status="running",
                 scheduled=0, fetched=0, failed=0, new_urls=n, frontier_pending=n,
-                next_seq=int(n), families=0, bytes_crawled=0, wall_ms=0,
+                tombstones=0, next_seq=int(n), families=0, bytes_crawled=0, wall_ms=0,
             )],
             STATE_SCHEMA,
             "state-iter-0",
         )
+
+    # ------------------------------------------------------------- pending view
+    def read_pending(self, upto_iter: int) -> DataFrame:
+        """Reconstruct the live frontier as of iteration ``upto_iter``:
+        pending appends minus scheduled-url tombstones (both snapshot-anchored
+        — see CrawlConfig.frontier_compact_ratio for the write side)."""
+        pending = self.catalog.read("frontier_pending", upto=f"pending-iter-{upto_iter}")
+        assert pending is not None, f"no pending snapshot for iteration {upto_iter}"
+        tombs = self.catalog.read("frontier_tombstones", upto=f"tomb-iter-{upto_iter}")
+        if tombs is None:
+            return pending
+        return pending.join(tombs.select("url"), on="url", how="left_anti")
 
     @staticmethod
     def _crawl_id(df: DataFrame) -> str:
@@ -217,12 +245,13 @@ class CrawlEngine:
         t0 = time.monotonic()
         cfg = self.config
         prev = f"iter-{k - 1}"
-        pending = self.catalog.read("frontier_pending", upto=f"pending-{prev}")
-        assert pending is not None, f"no pending snapshot for iteration {k - 1}"
+        pending = self.read_pending(k - 1)
         seen = self.catalog.read("seen", upto=f"seen-{prev}")
         st = self.last_state()
         next_seq = int(st["next_seq"])
         fam_seq = int(st["families"])  # cumulative family count (metrics only)
+        prev_pending = int(st["frontier_pending"])
+        prev_tombs = int(st.get("tombstones") or 0)
 
         budgets = politeness.host_budgets(self.robots, cfg.iteration_seconds)
         scheduled = politeness.schedule(
@@ -315,12 +344,22 @@ class CrawlEngine:
             F.lit(k).alias("discovered_iter"),
         ).localCheckpoint(eager=cfg.eager_checkpoints)  # stamp map runs once, 4 consumers share
 
-        next_pending = pending.join(
-            fetched.select("url"), on="url", how="left_anti"
-        ).select(*FRONTIER_COLS).unionByName(new_frontier.select(*FRONTIER_COLS))
+        # Frontier delta-commit vs compaction (decided from the PREVIOUS
+        # state so the concurrent commits don't wait on each other's counts):
+        # normally append only this iteration's new rows + tombstones; once
+        # accumulated garbage crosses the ratio, rewrite the materialized
+        # pending set and reset tombstones in the same commit slot.
+        compact = prev_tombs >= cfg.frontier_compact_ratio * max(prev_pending, 1)
+        compacted_pending = (
+            pending.join(fetched.select("url"), on="url", how="left_anti")
+            .select(*FRONTIER_COLS)
+            .unionByName(new_frontier.select(*FRONTIER_COLS))
+            if compact
+            else None
+        )
 
         # ---- commits; counters observed on the write actions themselves.
-        # The seven table commits are mutually independent (all read the two
+        # The eight table commits are mutually independent (all read the two
         # pinned checkpoints), so they run as CONCURRENT Spark jobs — the
         # wall cost is the slowest commit, not the sum. Only the crawl_state
         # checkpoint row must come strictly last. Idempotence is per-table
@@ -375,19 +414,39 @@ class CrawlEngine:
                 self.bloom.update(new_frontier.select("url"), f"bloom-{it}", upto=f"bloom-{prev}")
 
         def c_pend():
-            return self._commit_observed(
-                "frontier_pending", next_pending, f"pending-{it}",
-                {"n_pending": F.count(F.lit(1))}, mode="overwrite",
-                coalesce=cfg.commit_files,
+            if compact:
+                return self._commit_observed(
+                    "frontier_pending", compacted_pending, f"pending-{it}",
+                    {"n_pending": F.count(F.lit(1))}, mode="overwrite",
+                    coalesce=cfg.commit_files,
+                )
+            self.catalog.commit(
+                "frontier_pending", new_frontier.select(*FRONTIER_COLS),
+                f"pending-{it}", coalesce=cfg.commit_files,
             )
+            return None
 
-        with ThreadPoolExecutor(max_workers=7) as pool:
+        def c_tomb():
+            if compact:
+                # repartition(1): an empty 0-partition write would emit no
+                # parquet footer and break schema inference on read
+                self.catalog.commit(
+                    "frontier_tombstones", self._empty("url string").repartition(1),
+                    f"tomb-{it}", mode="overwrite",
+                )
+            else:
+                self.catalog.commit(
+                    "frontier_tombstones", fetched.select("url"),
+                    f"tomb-{it}", coalesce=cfg.commit_files,
+                )
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
             futs = {
                 name: pool.submit(fn)
                 for name, fn in [
                     ("order", c_order), ("pages", c_pages), ("fail", c_fail),
                     ("jobs", c_jobs), ("seen", c_seen), ("bloom", c_bloom),
-                    ("pend", c_pend),
+                    ("pend", c_pend), ("tomb", c_tomb),
                 ]
             }
             m_order = futs["order"].result()
@@ -397,9 +456,21 @@ class CrawlEngine:
             m_pend = futs["pend"].result()
             futs["fail"].result()
             futs["bloom"].result()
+            futs["tomb"].result()
         tt = self._trace("commits(concurrent)", tt)
         n_sched, n_ok = int(m_order["n_sched"]), int(m_pages["n_ok"])
-        n_new, n_pending = int(m_seen["n_new"]), int(m_pend["n_pending"])
+        n_new = int(m_seen["n_new"])
+        # live pending is exact arithmetic (scheduled rows always come from
+        # pending; new rows are deduped against seen which contains every
+        # pending row ever appended); the compaction write double-checks it
+        if compact:
+            n_pending, n_tombs = int(m_pend["n_pending"]), 0
+            assert n_pending == prev_pending - n_sched + n_new, (
+                f"frontier accounting drift: materialized {n_pending} != "
+                f"{prev_pending} - {n_sched} + {n_new}"
+            )
+        else:
+            n_pending, n_tombs = prev_pending - n_sched + n_new, prev_tombs + n_sched
         status = "running" if n_pending > 0 else "complete"
         wall_ms = int((time.monotonic() - t0) * 1000)
         self.catalog.commit_rows(
@@ -407,7 +478,7 @@ class CrawlEngine:
             [dict(
                 crawl_id=str(st["crawl_id"]), iteration=k, status=status,
                 scheduled=n_sched, fetched=n_ok, failed=n_sched - n_ok,
-                new_urls=n_new, frontier_pending=n_pending,
+                new_urls=n_new, frontier_pending=n_pending, tombstones=n_tombs,
                 next_seq=next_seq + n_new, families=fam_seq + int(m_jobs["n_fams"]),
                 bytes_crawled=int(m_pages["bytes"]), wall_ms=wall_ms,
             )],

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from .functions.urls import canonicalize_url_col, host_col, path_col, url_hash_col
 from .operators import politeness
 from .operators.dedup import BloomSeenFilter, dedup_new_urls
-from .operators.extraction import extract_links, extract_text
+from .operators.extraction import extract_hrefs, extract_text
 from .operators.grouping import emit_extraction_jobs
 from .plans import with_global_seq
 from .storage import ManifestCatalog
@@ -263,29 +263,35 @@ class CrawlEngine:
         # SINGLE upstream materialization: schedule window + fetch join pinned
         # once; every downstream branch (pages_out, failures, links, order,
         # pending subtraction) re-reads these blocks instead of re-executing.
+        # Text, outlinks and byte size are extracted BEFORE the checkpoint and
+        # the (heavy) html column is dropped: at ~12 KiB/page the html is
+        # >90% of the checkpoint bytes but no consumer needs it post-extract —
+        # this is the single biggest lever on the per-iteration I/O floor.
         fetched = (
             scheduled.join(self.pages.drop("text", "warc_ts"), on="url", how="left")
+            .withColumn("fetch_ok", F.col("html").isNotNull())
+            .withColumn("size", F.length("html").cast("long"))
+            .withColumn("text", extract_text(F.col("html")))
+            .withColumn("hrefs", extract_hrefs(F.col("html")))
+            .drop("html")
             .localCheckpoint(eager=cfg.eager_checkpoints)  # consumers read blocks
         )
-        ok = fetched.filter(F.col("html").isNotNull())
-        failures = fetched.filter(F.col("html").isNull()).select(
+        ok = fetched.filter(F.col("fetch_ok"))
+        failures = fetched.filter(~F.col("fetch_ok")).select(
             "crawl_id", F.lit(k).alias("iteration"), "url", F.lit("not_found").alias("reason")
         )
 
         pages_out = ok.select(
             "crawl_id", F.lit(k).alias("iteration"), "url", "seq", "depth", "host",
-            "lang", F.length("html").cast("long").alias("size"),
-            extract_text(F.col("html")).alias("text"),
+            "lang", "size", "text",
         )
 
-        links = extract_links(
-            ok.select(
-                "crawl_id",
-                F.col("seq").alias("parent_seq"),
-                F.col("depth").alias("parent_depth"),
-                F.col("priority").alias("parent_priority"),
-                "html",
-            )
+        links = ok.select(
+            "crawl_id",
+            F.col("seq").alias("parent_seq"),
+            F.col("depth").alias("parent_depth"),
+            F.col("priority").alias("parent_priority"),
+            F.posexplode("hrefs").alias("link_idx", "href"),
         )
         cand = links.select(
             "crawl_id", "parent_seq", "parent_depth", "parent_priority", "link_idx",
@@ -394,7 +400,7 @@ class CrawlEngine:
         def c_jobs():
             if not cfg.emit_jobs:
                 return {"n_fams": 0}
-            jobs = emit_extraction_jobs(ok.select("crawl_id", "url", "seq", "html"), k)
+            jobs = emit_extraction_jobs(ok.select("crawl_id", "url", "seq", "size"), k)
             return self._commit_observed(
                 "extraction_jobs", jobs, f"jobs-{it}", {"n_fams": F.count(F.lit(1))},
                 coalesce=cfg.commit_files,

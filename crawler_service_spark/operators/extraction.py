@@ -29,13 +29,18 @@ from pyspark.sql.functions import pandas_udf
 HREF_PATTERN = r'href="([^"]+)"'
 
 
+def extract_hrefs(html) -> "F.Column":
+    """Array of hrefs in document order (JVM regexp; null html -> null array,
+    which a later posexplode silently skips — the dead-letter branch handles
+    fetch misses)."""
+    h = F.col(html) if isinstance(html, str) else html
+    return F.regexp_extract_all(h.cast("string"), F.lit(HREF_PATTERN), F.lit(1))
+
+
 def extract_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
     """One row per (page, link_idx, href), in document order."""
-    hrefs = F.regexp_extract_all(
-        F.col(html_col).cast("string"), F.lit(HREF_PATTERN), F.lit(1)
-    )
     return pages.select(
-        "*", F.posexplode(hrefs).alias("link_idx", "href")
+        "*", F.posexplode(extract_hrefs(html_col)).alias("link_idx", "href")
     ).drop(html_col)
 
 

@@ -41,15 +41,21 @@ CLASS_PARSER = {
 def emit_extraction_jobs(fetched: DataFrame, iteration: int) -> DataFrame:
     """Build extraction_jobs rows from this iteration's fetched pages.
 
-    ``fetched`` needs columns (crawl_id, url, seq, html). Output schema follows
-    FIXTURES.md §5.
+    ``fetched`` needs columns (crawl_id, url, seq) plus either a precomputed
+    ``size`` (bytes — lets callers drop the heavy html column before this
+    shuffle) or ``html`` to derive it. Output schema follows FIXTURES.md §5.
     """
+    size = (
+        F.col("size").cast("long")
+        if "size" in fetched.columns
+        else F.length("html").cast("long")
+    )
     parser_map = F.create_map(*[F.lit(x) for kv in CLASS_PARSER.items() for x in kv])
     files = fetched.select(
         "crawl_id",
         "seq",
         F.col("url").alias("path"),
-        F.length("html").cast("long").alias("size"),
+        size.alias("size"),
         extension_col("url").alias("extension"),
         F.regexp_extract("url", r"^(.*)/[^/]*$", 1).alias("base_url"),
     ).withColumn("parser", parser_map[ext_class_col("extension")])

@@ -203,6 +203,27 @@ def _c1_extension_class(spark, sf):
     )
 
 
+def _f4_ftp_dir_guess(spark, sf):
+    """F4: route names with no short dot-suffix to the descend branch
+    (crawlers/local_posix.py:117-131 guess_by_extension)."""
+    from crawler_service_spark.functions.urls import ftp_dir_guess_col
+
+    named = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, ".txt")
+            .when(F.col("doc_id") % 3 == 1, ".csv")
+            .otherwise(""),
+        ).alias("fname"),
+    )
+    return (
+        named.select(ftp_dir_guess_col("fname").alias("is_dir_guess"))
+        .groupBy("is_dir_guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _c4_hash(spark, sf):
     return _t(spark, sf, "documents").select(
         "doc_id", F.md5(F.col("text")).alias("text_md5")
@@ -570,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c2_url_build": _c2_url_build,
         "c5_mime_map": _c5_mime_map,
         "c5_mime_sniff": _c5_mime_sniff,
+        "f4_ftp_dir_guess": _f4_ftp_dir_guess,
         "j6_group_edges": _j6_group_edges,
         "j6_connected_components": _j6_connected_components,
         "u4_frontier_merge": _u4_frontier_merge,
@@ -959,6 +981,18 @@ def oracle_sql() -> dict[str, str]:
             FROM exts GROUP BY 1
         """,
         "c5_mime_sniff": _mime_sniff_sql(),
+        "f4_ftp_dir_guess": """
+            WITH named AS (
+                SELECT source || '/doc_' || CAST(doc_id AS VARCHAR) ||
+                       CASE WHEN doc_id % 3 = 0 THEN '.txt'
+                            WHEN doc_id % 3 = 1 THEN '.csv' ELSE '' END AS fname
+                FROM documents
+            ), base AS (SELECT split_part(fname, '/', -1) AS b FROM named)
+            SELECT NOT (substr(b, -4, 1) = '.' OR substr(b, -3, 1) = '.'
+                        OR substr(b, -2, 1) = '.') AS is_dir_guess,
+                   count(*) AS n
+            FROM base GROUP BY 1
+        """,
         "w2_host_budget_cap": """
             SELECT user_id, event_id, rn, budget FROM (
                 SELECT user_id, event_id,

@@ -47,7 +47,10 @@ HEADLINE_QUERIES = [
     "dedup_simhash",
     "text_quality",
     "text_langid",
+    "dedup_minhash_verified",
+    "dedup_embedding_lsh",
     "ann_dot_topk",
+    "ann_cosine_topk",
     "multimodal_features",
 ]
 
@@ -73,10 +76,13 @@ def crawl_fixture(sf: float) -> dict[str, str]:
 
 def sat_fixture(sf: float) -> dict[str, str]:
     """Scaling fixture: realistic page sizes (~12 KiB html) so per-URL work
-    matches Common-Crawl-shaped inputs, and 2.5x the sf page count so the
+    matches Common-Crawl-shaped inputs, and 5x the sf page count so the
     data-parallel work dominates the per-iteration floor (the strong-scaling
-    signal needs parallel work >> fixed cost; at 10^10 URLs it trivially is)."""
-    n_pages = max(4_000, int(3_000_000 * sf))
+    signal needs parallel work >> fixed cost; at a 10^10-URL frontier one
+    iteration schedules ~10^7-10^8 URLs, so the representative regime is the
+    LARGEST batch the sandbox can turn around, not the sf crawl's ~10^4.
+    Measured fit at sf0.1: wall = W/N + f with W ~ 270 core-s, f ~ 10 s)."""
+    n_pages = max(4_000, int(6_000_000 * sf))
     spec = FixtureSpec(n_pages=n_pages, n_hosts=192, n_seeds=64, seed=42, pad_bytes=12_288)
     out = os.path.join(CACHE, f"fixture-sat-{n_pages}")
     t0 = time.monotonic()
@@ -231,6 +237,14 @@ def main() -> None:
             / s_small["throughput_urls_per_sec"]
             / (n_big / n_small)
         )
+        # wall = W/N + f fit: W = parallel core-seconds (scales with
+        # executors), f = additive non-scaling term (driver planning + this
+        # host's single disk — the component a real N-node cluster scales,
+        # see BASELINE.md "Decomposing")
+        w_core_s = (s_small["wall_sec"] - s_big["wall_sec"]) / (
+            1.0 / n_small - 1.0 / n_big
+        )
+        f_s = s_small["wall_sec"] - w_core_s / n_small
         scaling = {
             "regime": "saturated-frontier (north-rule scale proxy; see run_saturated docstring)",
             "n_cores": n_small,
@@ -238,6 +252,7 @@ def main() -> None:
             "throughput_n": s_small["throughput_urls_per_sec"],
             "throughput_4n": s_big["throughput_urls_per_sec"],
             "efficiency": round(eff, 3),
+            "fit": {"parallel_work_core_s": round(w_core_s, 1), "additive_floor_s": round(f_s, 1)},
             "runs": {"n": s_small, "n4": s_big},
         }
     crawl = run_crawl(CPUS, paths, f"n{CPUS}")

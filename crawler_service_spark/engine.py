@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from .functions.urls import canonicalize_url_col, host_col, path_col, url_hash_col
 from .operators import politeness
 from .operators.dedup import BloomSeenFilter, dedup_new_urls
-from .operators.extraction import extract_hrefs, extract_text
+from .operators.extraction import extract_hrefs, extract_text_col
 from .operators.grouping import emit_extraction_jobs
 from .plans import with_global_seq
 from .storage import ManifestCatalog
@@ -84,6 +84,11 @@ class CrawlConfig:
     # iteration 0 either way so engagement is seamless.
     bloom_min_seen: int = 2_000_000
     emit_jobs: bool = True
+    # F7 too-large-group skip (reference: '502' on huge dirs => skip + record,
+    # crawlers/globus_base_preserved.py:294-297): families with more members
+    # than this are dead-lettered (reason 'family_too_large') instead of
+    # emitted as extraction jobs. None = no cap.
+    max_family_files: int | None = None
     # bound output files per commit (small-file compaction for control tables;
     # None = leave partitioning alone, the petabyte-scale default)
     commit_files: int | None = None
@@ -243,6 +248,7 @@ class CrawlEngine:
     # -------------------------------------------------------------- iteration
     def run_iteration(self, k: int) -> dict:
         t0 = time.monotonic()
+        tp = t0  # trace segment cursor (t0 stays = iteration start)
         cfg = self.config
         prev = f"iter-{k - 1}"
         pending = self.read_pending(k - 1)
@@ -271,11 +277,12 @@ class CrawlEngine:
             scheduled.join(self.pages.drop("text", "warc_ts"), on="url", how="left")
             .withColumn("fetch_ok", F.col("html").isNotNull())
             .withColumn("size", F.length("html").cast("long"))
-            .withColumn("text", extract_text(F.col("html")))
+            .withColumn("text", extract_text_col(F.col("html")))
             .withColumn("hrefs", extract_hrefs(F.col("html")))
             .drop("html")
             .localCheckpoint(eager=cfg.eager_checkpoints)  # consumers read blocks
         )
+        tp = self._trace("fetch+extract ckpt", tp) if self._TRACE else tp
         ok = fetched.filter(F.col("fetch_ok"))
         failures = fetched.filter(~F.col("fetch_ok")).select(
             "crawl_id", F.lit(k).alias("iteration"), "url", F.lit("not_found").alias("reason")
@@ -293,35 +300,39 @@ class CrawlEngine:
             F.col("priority").alias("parent_priority"),
             F.posexplode("hrefs").alias("link_idx", "href"),
         )
-        cand = links.select(
+        # scheme prefilter on the RAW href (equivalent to filtering the
+        # canonical url for ^https?:// since canonicalize trims + lowercases
+        # the scheme) so the canonicalize tree is evaluated exactly ONCE per
+        # link — as the groupBy key on the map side of the dedup shuffle
+        cand = links.filter(
+            F.col("href").rlike(r"^\s*[Hh][Tt][Tt][Pp][Ss]?://")
+        ).select(
             "crawl_id", "parent_seq", "parent_depth", "parent_priority", "link_idx",
             canonicalize_url_col("href").alias("url"),
-        ).filter(F.col("url").rlike(r"^https?://"))
-        if cfg.eager_checkpoints:
-            # pin the canonical url STRING before deriving host/path/hash:
-            # otherwise Catalyst collapses the projections and re-inlines the
-            # whole canonicalize tree once per derived column (4x the work,
-            # and CSE can't dedupe inside when() branches)
-            cand = cand.localCheckpoint(eager=True)
-        cand = (
-            cand.withColumn("host", host_col("url"))
-            .withColumn("path", path_col("url"))
-            .withColumn("url_hash", url_hash_col("url"))
         )
-        cand = politeness.robots_filter(cand, self.robots)
 
-        # in-batch first-occurrence dedup: keep the earliest discoverer in the
-        # oracle's FIFO processing order (parent_depth, -parent_priority,
-        # parent_seq, link_idx) — min over a sortable struct.
+        # in-batch first-occurrence dedup FIRST: keep the earliest discoverer
+        # in the oracle's FIFO processing order (parent_depth,
+        # -parent_priority, parent_seq, link_idx) — min over a sortable
+        # struct. host/path/hash derivation and the robots filter run AFTER
+        # the groupBy, once per DISTINCT url instead of once per link
+        # occurrence (they commute with the dedup: both are functions of the
+        # url alone). This also keeps the canonicalize tree evaluated on the
+        # map side of ONE shuffle — no checkpoint needed to stop Catalyst
+        # re-inlining it into four derived columns.
         okey = F.struct(
             F.col("parent_depth").alias("pd"),
             (-F.col("parent_priority")).alias("pnp"),
             F.col("parent_seq").alias("ps"),
             F.col("link_idx").alias("li"),
         )
-        firsts = cand.groupBy("crawl_id", "url", "url_hash", "host", "path").agg(
-            F.min(okey).alias("okey")
+        firsts = cand.groupBy("crawl_id", "url").agg(F.min(okey).alias("okey"))
+        firsts = (
+            firsts.withColumn("host", host_col("url"))
+            .withColumn("path", path_col("url"))
+            .withColumn("url_hash", url_hash_col("url"))
         )
+        firsts = politeness.robots_filter(firsts, self.robots)
         probe_bloom = self.bloom if next_seq >= cfg.bloom_min_seen else None
         new = dedup_new_urls(firsts, seen, probe_bloom, bloom_upto=f"bloom-{prev}")
         new = new.select(
@@ -336,6 +347,7 @@ class CrawlEngine:
         # child, which would otherwise evaluate the whole candidate+dedup
         # pipeline a second time (measured as twin full-cost stages).
         new = new.localCheckpoint(eager=cfg.eager_checkpoints)
+        tp = self._trace("cand+dedup ckpt", tp) if self._TRACE else tp
         # with_global_seq pins its own partitioning (localCheckpoint inside);
         # the stamp map is deterministic, so downstream branches may re-run it
         # cheaply off those blocks — no second checkpoint needed.
@@ -349,6 +361,7 @@ class CrawlEngine:
             *[c for c in FRONTIER_COLS if c != "discovered_iter"],
             F.lit(k).alias("discovered_iter"),
         ).localCheckpoint(eager=cfg.eager_checkpoints)  # stamp map runs once, 4 consumers share
+        tp = self._trace("seq+stamp ckpt", tp) if self._TRACE else tp
 
         # Frontier delta-commit vs compaction (decided from the PREVIOUS
         # state so the concurrent commits don't wait on each other's counts):
@@ -373,7 +386,7 @@ class CrawlEngine:
         # resumes exactly (partially-committed iterations re-run and skip
         # finished commits).
         it = f"iter-{k}"
-        tt = self._trace("pre", t0)
+        tt = self._trace("pre(total)", t0)
 
         def c_order():
             return self._commit_observed(
@@ -401,6 +414,17 @@ class CrawlEngine:
             if not cfg.emit_jobs:
                 return {"n_fams": 0}
             jobs = emit_extraction_jobs(ok.select("crawl_id", "url", "seq", "size"), k)
+            if cfg.max_family_files is not None:
+                oversize = F.size("files") > cfg.max_family_files
+                dead = jobs.filter(oversize).select(
+                    "crawl_id", F.lit(k).alias("iteration"),
+                    F.get_json_object("payload_json", "$.base_url").alias("url"),
+                    F.lit("family_too_large").alias("reason"),
+                )
+                self.catalog.commit(
+                    "fetch_failures", dead, f"fail-fam-{it}", coalesce=cfg.commit_files
+                )
+                jobs = jobs.filter(~oversize)
             return self._commit_observed(
                 "extraction_jobs", jobs, f"jobs-{it}", {"n_fams": F.count(F.lit(1))},
                 coalesce=cfg.commit_files,

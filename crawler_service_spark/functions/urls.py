@@ -177,6 +177,23 @@ EXT_CLASS: dict[str, str] = {
 }
 
 
+def ftp_dir_guess_col(name: Column | str) -> Column:
+    """F4: the crawler's guess-by-extension directory heuristic — a basename
+    with a '.' in one of the last four positions (1-3 char suffix) is a FILE;
+    anything else is presumed a directory worth descending into. Re-expresses
+    ``_is_ftp_dir(guess_by_extension=True)`` at crawlers/local_posix.py:117-131
+    (the reference's cwd-probe fallback is live-connection I/O, not a
+    predicate, so only the guess fast path has a DataFrame form)."""
+    n = F.col(name) if isinstance(name, str) else name
+    base = F.substring_index(n, "/", -1)
+    is_file = (
+        (F.substring(base, -4, 1) == ".")
+        | (F.substring(base, -3, 1) == ".")
+        | (F.substring(base, -2, 1) == ".")
+    )
+    return ~is_file
+
+
 def ext_class_col(ext: Column | str) -> Column:
     """Map extension -> class with a literal map lookup (no UDF, no join needed:
     the mapping is tiny and constant-folds into the plan)."""

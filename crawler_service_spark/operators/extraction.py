@@ -48,13 +48,28 @@ def extract_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
 def extract_text(html: pd.Series) -> pd.Series:
     """Vectorized extraction: '<title>…</title>' + '\\n' + first '<p>…</p>'.
 
-    Pure pandas str ops on the whole Arrow batch; deterministic and
-    byte-identical to the fixture's stored ``text`` (tests enforce it).
+    Pure pandas str ops on the whole Arrow batch — the plug-in point for
+    ARBITRARY Python extractors (the reference ships extraction as a funcX
+    Python callable, crawlers/local_funcx.py:122-169, so the engine keeps a
+    pandas-UDF seam). The built-in rule itself is also regexp-expressible, so
+    the crawl hot path uses the JVM twin ``extract_text_col`` below — same
+    bytes (tests enforce 3-way equality), no Arrow round-trip of the html.
     """
     s = html.str.decode("utf-8")
     title = s.str.extract(r"<title>(.*?)</title>", expand=False).fillna("")
     para = s.str.extract(r"<p>(.*?)</p>", expand=False).fillna("")
-    return title + "\n" + para
+    return (title + "\n" + para).where(html.notna(), None)
+
+
+def extract_text_col(html) -> "F.Column":
+    """JVM twin of ``extract_text`` (whole-stage codegen, no Python round
+    trip): regexp_extract returns '' on no-match, exactly like the pandas
+    fillna('') — byte-identical output. Java and Python regex agree on these
+    patterns (non-greedy, dot excludes newlines in both)."""
+    h = (F.col(html) if isinstance(html, str) else html).cast("string")
+    title = F.regexp_extract(h, r"<title>(.*?)</title>", 1)
+    para = F.regexp_extract(h, r"<p>(.*?)</p>", 1)
+    return F.concat(title, F.lit("\n"), para)
 
 
 def extract_text_py(html: bytes) -> str:

@@ -96,3 +96,40 @@ def test_counters_consistent(engine_run, oracle_result):
         eng.catalog.read("crawl_state").agg(F.sum("scheduled")).collect()[0][0]
     )
     assert total_sched == len(oracle_result.order)
+
+
+def test_family_too_large_dead_letter(spark, tiny_fixture, tmp_path):
+    """F7: families above max_family_files are dead-lettered with a reason
+    code and never emitted as extraction jobs (ref skip-on-502,
+    crawlers/globus_base_preserved.py:294-297)."""
+    from pyspark.sql import functions as F
+
+    from crawler_service_spark.engine import CrawlConfig, CrawlEngine
+
+    eng = CrawlEngine(
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        spark.read.parquet(tiny_fixture["robots_rules"]),
+        str(tmp_path / "wd"),
+        CrawlConfig(iteration_seconds=60.0, max_family_files=1),
+    )
+    eng.run(seeds=spark.read.parquet(tiny_fixture["seeds"]))
+    jobs = eng.catalog.read("extraction_jobs")
+    assert jobs.filter(F.size("files") > 1).count() == 0
+    dead = eng.catalog.read("fetch_failures").filter(
+        F.col("reason") == "family_too_large"
+    )
+    assert dead.count() > 0
+    assert dead.filter(F.col("url").isNull()).count() == 0
+
+    # uncapped twin: every family the capped run dropped exists there
+    ref = CrawlEngine(
+        spark,
+        spark.read.parquet(tiny_fixture["pages"]),
+        spark.read.parquet(tiny_fixture["robots_rules"]),
+        str(tmp_path / "ref"),
+        CrawlConfig(iteration_seconds=60.0),
+    )
+    ref.run(seeds=spark.read.parquet(tiny_fixture["seeds"]))
+    all_fams = ref.catalog.read("extraction_jobs")
+    assert all_fams.filter(F.size("files") > 1).count() == dead.count()

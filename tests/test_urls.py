@@ -74,3 +74,34 @@ def test_host_path_schemeless_with_midstring_separator(spark):
     df = spark.createDataFrame([(u,) for u in weird], "url string")
     rows = df.select(host_col("url").alias("h"), path_col("url").alias("p")).collect()
     assert [(r["h"], r["p"]) for r in rows] == [(host_py(u), path_py(u)) for u in weird]
+
+
+def test_extract_text_three_way_byte_equality(spark):
+    """Pandas-UDF extractor, JVM regexp twin, and the pure-Python oracle twin
+    must produce byte-identical text (the north-rule per-row invariant)."""
+    from pyspark.sql import functions as F
+
+    from crawler_service_spark.operators.extraction import (
+        extract_text,
+        extract_text_col,
+        extract_text_py,
+    )
+
+    htmls = [
+        b"<html><title>T1</title><p>first</p><p>second</p></html>",
+        b"<html><p>no title</p></html>",
+        b"<html><title>only title</title></html>",
+        b"<html>nothing</html>",
+        b"<title>a\nb</title><p>x</p>",   # dot must not cross newlines
+        "<title>unicode \xe9è</title><p>ok</p>".encode(),
+        b"",
+    ]
+    df = spark.createDataFrame([(h,) for h in htmls], "html binary").repartition(2)
+    rows = df.select(
+        extract_text(F.col("html")).alias("udf"),
+        extract_text_col("html").alias("jvm"),
+        "html",
+    ).collect()
+    for r in rows:
+        want = extract_text_py(bytes(r["html"]))
+        assert r["udf"] == want and r["jvm"] == want, (r, want)

@@ -531,6 +531,15 @@ def _ann_lsh_topk(spark, sf):
     )
 
 
+def _ann_lsh_multiprobe(spark, sf):
+    """Multi-probe variant: also scan buckets one bit-flip from the query's
+    (the recall lever — near neighbors land just across a hyperplane)."""
+    return similarity.int_lsh_topk(
+        _quantized(spark, sf), _query_qvec(spark, sf), k=10,
+        n_planes=ANN_PLANES, probe_radius=1,
+    )
+
+
 def _dedup_embedding_lsh(spark, sf):
     """Scale twin of dedup_embedding_pairs: banded hyperplane LSH candidates
     + exact integer-dot verify (plan: equi-joins only, no CartesianProduct).
@@ -619,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_dot_topk": _ann_dot_topk,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_lsh_multiprobe": _ann_lsh_multiprobe,
         "multimodal_features": _multimodal_features,
         "multimodal_decode": _multimodal_decode,
     }
@@ -792,10 +802,15 @@ def _ann_cosine_sql() -> str:
     )
 
 
-def _ann_lsh_sql() -> str:
+def _ann_lsh_sql(probe_radius: int = 0) -> str:
     from crawler_service_spark.operators.similarity import int_planes
 
     planes = int_planes(EMB_DIM, ANN_PLANES)
+    where = (
+        "bucket = (SELECT bucket FROM qq)"
+        if probe_radius == 0
+        else f"bit_count(xor(bucket, (SELECT bucket FROM qq))) <= {probe_radius}"
+    )
     return (
         _norm_cte()
         + f"""
@@ -805,7 +820,7 @@ def _ann_lsh_sql() -> str:
                (1000000 * CAST(list_dot_product(bk.qv, (SELECT qv FROM qq)) AS BIGINT))
                    // (norm * (SELECT norm FROM qq)) AS cosine_micros
         FROM bk
-        WHERE bucket = (SELECT bucket FROM qq)
+        WHERE {where}
         ORDER BY cosine_micros DESC, vec_id ASC LIMIT 10
     """
     )
@@ -1079,6 +1094,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": _embedding_lsh_sql(),
         "ann_cosine_topk": _ann_cosine_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_lsh_multiprobe": _ann_lsh_sql(probe_radius=1),
         "dedup_embedding_pairs": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot

@@ -189,22 +189,47 @@ def int_cosine_topk(
     return scored.orderBy(F.desc("cosine_micros"), F.col(id_col).asc()).limit(k)
 
 
+def probe_buckets_py(qvec: list[int], planes: list[list[int]], radius: int = 0) -> list[int]:
+    """Query bucket plus every bucket within Hamming distance ``radius`` of
+    it (the standard multi-probe LSH recall lever: neighbors that fall just
+    across a hyperplane land one bit-flip away)."""
+    from itertools import combinations
+
+    base = int_bucket_py(qvec, planes)
+    buckets = {base}
+    for r in range(1, radius + 1):
+        for bits in combinations(range(len(planes)), r):
+            flip = base
+            for b in bits:
+                flip ^= 1 << b
+            buckets.add(flip)
+    return sorted(buckets)
+
+
 def int_lsh_topk(
     quantized: DataFrame,
     qvec: list[int],
     k: int = 10,
     n_planes: int = 8,
+    probe_radius: int = 0,
     id_col: str = "vec_id",
     qv_col: str = "qv",
 ) -> DataFrame:
-    """ANN top-k: scan only the query's integer-LSH bucket, exact integer
-    cosine re-rank inside. Single-probe; multi-probe (flip low-confidence
-    bits) is the recall lever at scale."""
+    """ANN top-k: scan only the query's integer-LSH bucket(s), exact integer
+    cosine re-rank inside. ``probe_radius`` > 0 widens the scan to buckets
+    within that Hamming distance — candidate volume grows by
+    ~sum_{r<=radius} C(n_planes, r) / 2^n_planes of the corpus, recall grows
+    toward exact (quantified in tests)."""
     planes = int_planes(len(qvec), n_planes)
-    qbucket = int_bucket_py(qvec, planes)
+    probes = probe_buckets_py(qvec, planes, probe_radius)
     bucketed = quantized.withColumn("bucket", int_lsh_bucket_col(F.col(qv_col), planes))
+    cond = (
+        F.col("bucket") == probes[0]
+        if len(probes) == 1
+        else F.col("bucket").isin(probes)
+    )
     return int_cosine_topk(
-        bucketed.filter(F.col("bucket") == qbucket), qvec, k=k, id_col=id_col, qv_col=qv_col
+        bucketed.filter(cond), qvec, k=k, id_col=id_col, qv_col=qv_col
     )
 
 

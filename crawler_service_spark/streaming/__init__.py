@@ -1,3 +1,4 @@
 from .ingest import ingest_seed_stream, read_seed_sink
+from .stateful import budget_gate_stream, read_gated_sink
 
-__all__ = ["ingest_seed_stream", "read_seed_sink"]
+__all__ = ["ingest_seed_stream", "read_seed_sink", "budget_gate_stream", "read_gated_sink"]

@@ -71,3 +71,43 @@ def test_connected_components_merges_bridged_stars(spark):
     )
     comps = {r["component"] for r in connected_components(edges).collect()}
     assert comps == {0}
+
+
+def test_stateful_budget_gate_across_microbatches(spark, tmp_path):
+    """The per-host budget must hold ACROSS micro-batches and separate runs:
+    state lives in the streaming checkpoint, not in memory (reference keeps
+    this counter in its worker loop; Structured Streaming keeps it in the
+    state store)."""
+    from crawler_service_spark.streaming import budget_gate_stream, read_gated_sink
+
+    seed_dir = str(tmp_path / "seeds")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(seed_dir)
+
+    def drop(rows):
+        spark.createDataFrame(
+            rows, "crawl_id string, url string, seed_order long"
+        ).coalesce(1).write.mode("append").parquet(seed_dir)
+
+    # batch 1: host a gets 2 of its 3-budget; host b gets 1
+    drop([("c", "https://a.com/1", 0), ("c", "https://a.com/2", 1), ("c", "https://b.com/1", 2)])
+    budget_gate_stream(spark, seed_dir, sink, ckpt, budget_per_host=3)
+    out1 = read_gated_sink(spark, sink)
+    assert out1.count() == 3
+
+    # batch 2 (separate run = restart): host a offers 3 more but only 1 slot
+    # remains; host b takes 2 more
+    drop([
+        ("c", "https://a.com/3", 3), ("c", "https://a.com/4", 4),
+        ("c", "https://a.com/5", 5), ("c", "https://b.com/2", 6),
+        ("c", "https://b.com/3", 7),
+    ])
+    budget_gate_stream(spark, seed_dir, sink, ckpt, budget_per_host=3)
+    rows = read_gated_sink(spark, sink).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r["url"])
+    assert len(by_host["a.com"]) == 3 and len(by_host["b.com"]) == 3
+    # budget admits in seed_order: a.com/3 is the one admitted from batch 2
+    assert sorted(by_host["a.com"]) == ["https://a.com/1", "https://a.com/2", "https://a.com/3"]

@@ -135,3 +135,29 @@ def test_byte_features_vectorized_matches_reference(spark):
             assert abs(r["byte_entropy_millis"] - round(ent * 1000)) <= 1
         else:
             assert r["byte_entropy_millis"] == 0
+
+
+def test_multiprobe_lsh_recall_monotone(spark, planted_embeddings):
+    """Multi-probe widens the candidate set monotonically, and what LSH
+    actually promises — recovering TRUE near neighbors (cos ~0.99 planted
+    dups), not weakly-similar top-k tail entries — must hold by radius 2
+    across a panel of queries."""
+    df, _ = planted_embeddings
+    hits = {0: 0, 1: 0, 2: 0}
+    n_queries = 8
+    for q in range(n_queries):  # vec q's planted dup is vec 300+q
+        qvec = [int(v) for v in df.filter(F.col("vec_id") == q).collect()[0]["qv"]]
+        sizes = []
+        for radius in (0, 1, 2):
+            ids = {
+                r["vec_id"]
+                for r in similarity.int_lsh_topk(
+                    df, qvec, k=50, n_planes=8, probe_radius=radius
+                ).collect()
+            }
+            sizes.append(len(ids))
+            if 300 + q in ids:
+                hits[radius] += 1
+        assert sizes == sorted(sizes), "candidate set must grow with radius"
+    assert hits[0] <= hits[1] <= hits[2]
+    assert hits[2] >= 0.9 * n_queries, f"radius-2 near-dup recall {hits[2]}/{n_queries}"

@@ -56,6 +56,12 @@ CLAIMS = {
     "s1_scan_filter": [
         (r"PushedFilters: \[.*GreaterThan\(l_quantity", "quantity filter pushed"),
     ],
+    "ann_cosine_topk": [
+        (r"TakeOrderedAndProject", "integer-cosine top-k without global sort"),
+    ],
+    "dedup_minhash_verified": [
+        (r"HashAggregate", "candidate-only intersection aggregates"),
+    ],
 }
 
 
@@ -86,7 +92,8 @@ def main() -> int:
     # negative check: no CartesianProduct anywhere except the intentional
     # all-pairs embedding query
     for name in ["q1_pricing_summary", "j1_broadcast_enrich", "j5_seen_antijoin",
-                 "j4_prefix_theta_antijoin", "dedup_minhash_lsh"]:
+                 "j4_prefix_theta_antijoin", "dedup_minhash_lsh",
+                 "dedup_minhash_verified", "dedup_embedding_lsh", "ann_lsh_topk"]:
         plan = formatted(qs[name](spark, SF_DIR))
         if "CartesianProduct" in plan:
             failures.append((name, "unexpected cartesian product"))

@@ -47,6 +47,10 @@ class ManifestCatalog:
         os.makedirs(root, exist_ok=True)
         self._locks: dict[str, threading.Lock] = defaultdict(threading.Lock)
         self._locks_guard = threading.Lock()
+        # schema cache: a table's schema is fixed across commits, so snapshot
+        # reads can skip per-read parquet footer inference (driver-side I/O
+        # that otherwise repeats every iteration)
+        self._schemas: dict[str, object] = {}
 
     def _lock(self, table: str) -> threading.Lock:
         with self._locks_guard:
@@ -154,7 +158,14 @@ class ManifestCatalog:
         dirs = self._active_dirs(table, upto)
         if not dirs:
             return None
-        return self.spark.read.parquet(*dirs)
+        reader = self.spark.read
+        cached = self._schemas.get(table)
+        if cached is not None:
+            reader = reader.schema(cached)
+        df = reader.parquet(*dirs)
+        if cached is None:
+            self._schemas[table] = df.schema
+        return df
 
     def read_last_commit_rows(self, table: str) -> list[dict]:
         """Driver-side read of the newest commit's rows via pyarrow (no Spark

@@ -361,6 +361,23 @@ def _c5_mime_sniff(spark, sf):
     )
 
 
+def _robots_parse(spark, sf):
+    """W-family: raw robots.txt bodies -> (host, path_prefix, allow,
+    crawl_delay_s) rules via the declarative sectional parser
+    (operators/robots.py; north-star 'enforcing robots.txt rules')."""
+    from crawler_service_spark.operators.robots import parse_robots, robots_txt_col
+
+    d = _t(spark, sf, "documents")
+    hosts = d.groupBy("source").agg(F.min("doc_id").alias("seed"))
+    bodies = hosts.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        robots_txt_col(
+            F.concat(F.lit("/private/"), F.col("source")), F.col("seed") % 5 + 1
+        ).alias("robots_txt"),
+    )
+    return parse_robots(bodies)
+
+
 def _w2_host_budget_cap(spark, sf):
     """W2: per-key budget cap with *variable* budgets — the politeness-window
     core (budget = floor(iteration/crawl_delay); here budget = user_id%3+1)."""
@@ -595,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_seen_antijoin": _j5_seen_antijoin,
         "w1_politeness_rank": _w1_politeness_rank,
         "w2_host_budget_cap": _w2_host_budget_cap,
+        "robots_parse": _robots_parse,
         "a1_class_tally": _a1_class_tally,
         "f3_compressed_predicate": _f3_compressed_predicate,
         "c2_url_build": _c2_url_build,
@@ -746,6 +764,52 @@ def _minhash_verified_sql() -> str:
         WHERE (1000 * inter) // (sa.sh_count + sb.sh_count - inter) >= {JACCARD_THRESHOLD}
     """
     )
+
+
+def _robots_parse_sql() -> str:
+    """DuckDB twin of parse_robots over the same synthetic bodies. Newlines
+    are built with chr(10) (standard SQL strings don't interpret \\n)."""
+    body = (
+        "'# synthetic robots' || chr(10) || 'User-agent: googlebot' || chr(10) || "
+        "'Disallow: /only-google' || chr(10) || chr(10) || "
+        "'User-agent: *' || chr(10) || 'Disallow: /private/' || source || chr(10) || "
+        "'Allow: /pub' || chr(10) || 'Crawl-delay: ' || CAST(seed % 5 + 1 AS VARCHAR) || chr(10)"
+    )
+    return f"""
+        WITH hosts AS (SELECT source, min(doc_id) AS seed FROM documents GROUP BY source),
+        bodies AS (
+            SELECT source || '.example.com' AS host, {body} AS txt FROM hosts
+        ),
+        ls AS (SELECT host, string_split(txt, chr(10)) AS arr FROM bodies),
+        lines AS (
+            SELECT host, i AS line_no, trim(regexp_replace(arr[i], '#.*$', '')) AS l
+            FROM ls, unnest(range(1, len(arr) + 1)) AS u(i)
+        ),
+        kv AS (
+            SELECT host, line_no,
+                   lower(trim(split_part(l, ':', 1))) AS key,
+                   CASE WHEN instr(l, ':') > 0 THEN trim(substr(l, instr(l, ':') + 1)) ELSE '' END AS val
+            FROM lines WHERE lower(trim(split_part(l, ':', 1))) <> ''
+        ),
+        sectioned AS (
+            SELECT *, last_value(CASE WHEN key = 'user-agent' THEN val END IGNORE NULLS)
+                        OVER (PARTITION BY host ORDER BY line_no
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ua
+            FROM kv
+        ),
+        star AS (SELECT * FROM sectioned WHERE ua = '*'),
+        with_delay AS (
+            SELECT *, coalesce(
+                max(CASE WHEN key = 'crawl-delay' THEN CAST(val AS DOUBLE) END)
+                    OVER (PARTITION BY host), 1.0) AS crawl_delay_s
+            FROM star
+        )
+        SELECT DISTINCT host,
+               CASE WHEN key = 'disallow' AND val = '' THEN '' ELSE val END AS path_prefix,
+               (key = 'allow' OR val = '') AS allow,
+               crawl_delay_s
+        FROM with_delay WHERE key IN ('allow', 'disallow')
+    """
 
 
 def _mime_sniff_sql() -> str:
@@ -996,6 +1060,7 @@ def oracle_sql() -> dict[str, str]:
             FROM exts GROUP BY 1
         """,
         "c5_mime_sniff": _mime_sniff_sql(),
+        "robots_parse": _robots_parse_sql(),
         "f4_ftp_dir_guess": """
             WITH named AS (
                 SELECT source || '/doc_' || CAST(doc_id AS VARCHAR) ||

@@ -1,0 +1,128 @@
+"""robots.txt parsing — raw robots bodies -> the engine's rules table.
+
+The north-star contract has the scheduler "enforcing robots.txt rules and
+crawl-delay budgets"; the engine consumes rules as
+``(host, path_prefix, allow, crawl_delay_s)`` (politeness.robots_filter /
+host_budgets). This operator produces that table FROM raw robots.txt text
+entirely with JVM built-ins — split + posexplode + a last-ignoring-nulls
+window carries the "current User-agent block" state down the file, so the
+sequential-looking grammar parses as a declarative plan (no UDF).
+
+Grammar subset (the part the scheduler consumes): ``User-agent`` blocks,
+``Allow``/``Disallow`` path prefixes, ``Crawl-delay`` seconds, ``#`` comments
+and blank lines; only the ``*`` agent's block is honored. Empty
+``Disallow:`` (allow-all idiom) emits an allow-rule for the root prefix.
+
+At scale: one explode + two window passes per robots body, shuffle keyed by
+host (uniform), output is tiny rule rows — the raw text never shuffles twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_DELAY_S = 1.0
+
+
+def parse_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """(host, robots_txt) -> (host, path_prefix, allow, crawl_delay_s)."""
+    lines = robots.select(
+        host_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "raw"),
+    )
+    # strip comments + whitespace; split 'Key: value'
+    line = F.trim(F.regexp_replace(F.col("raw"), r"#.*$", ""))
+    cleaned = lines.select(host_col, "line_no", line.alias("l"))
+    key = F.lower(F.trim(F.substring_index(F.col("l"), ":", 1)))
+    val = F.when(
+        F.instr(F.col("l"), ":") > 0,
+        F.trim(F.expr("substring(l, instr(l, ':') + 1)")),
+    ).otherwise(F.lit(""))
+    parsed = cleaned.select(
+        host_col, "line_no", key.alias("key"), val.alias("val")
+    ).filter(F.col("key") != "")
+
+    # carry the governing User-agent down the file (robots grammar is
+    # sectional; last non-null above == current section)
+    w = (
+        Window.partitionBy(host_col)
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ua = F.last(
+        F.when(F.col("key") == "user-agent", F.col("val")), ignorenulls=True
+    ).over(w)
+    sectioned = parsed.withColumn("ua", ua).filter(F.col("ua") == agent)
+
+    # host-wide crawl delay from the agent's block (max if repeated)
+    wd = Window.partitionBy(host_col)
+    delay = F.max(
+        F.when(F.col("key") == "crawl-delay", F.col("val").cast("double"))
+    ).over(wd)
+    rules = (
+        sectioned.withColumn("crawl_delay_s", F.coalesce(delay, F.lit(DEFAULT_DELAY_S)))
+        .filter(F.col("key").isin("allow", "disallow"))
+        .select(
+            F.col(host_col).alias("host"),
+            # empty Disallow: == allow everything (standard idiom)
+            F.when((F.col("key") == "disallow") & (F.col("val") == ""), F.lit(""))
+            .otherwise(F.col("val"))
+            .alias("path_prefix"),
+            ((F.col("key") == "allow") | (F.col("val") == "")).alias("allow"),
+            "crawl_delay_s",
+        )
+        .distinct()
+    )
+    return rules
+
+
+def robots_filter_spec(
+    candidates: DataFrame, rules: DataFrame, path_col: str = "path"
+) -> DataFrame:
+    """Google-spec precedence filter: the LONGEST matching rule governs, and
+    Allow wins a length tie. Complements politeness.robots_filter (the
+    engine's simpler any-disallow contract used by the crawl oracle).
+
+    Plan: broadcast the tiny rules table, theta-join on prefix match, argmax
+    by (prefix length, allow) per candidate via one aggregation — the
+    candidate side never shuffles beyond the groupBy on its own key.
+    """
+    r = rules.select(
+        F.col("host").alias("r_host"),
+        F.col("path_prefix").alias("r_prefix"),
+        F.col("allow").alias("r_allow"),
+    ).distinct()
+    cand = candidates.withColumn("__cid", F.monotonically_increasing_id())
+    matched = cand.join(
+        F.broadcast(r),
+        (cand["host"] == F.col("r_host"))
+        & cand[path_col].startswith(F.col("r_prefix")),
+        "left",
+    )
+    verdict = F.max(
+        F.struct(
+            F.length(F.coalesce(F.col("r_prefix"), F.lit(""))).alias("l"),
+            F.coalesce(F.col("r_allow"), F.lit(True)).alias("a"),
+        )
+    )
+    decided = matched.groupBy("__cid", *candidates.columns).agg(verdict.alias("v"))
+    return decided.filter(F.col("v.a")).select(*candidates.columns)
+
+
+def robots_txt_col(disallow: Column, delay: Column) -> Column:
+    """Deterministic robots.txt body builder (fixtures/tests/oracle twins)."""
+    return F.concat(
+        F.lit("# synthetic robots\nUser-agent: googlebot\nDisallow: /only-google\n\n"),
+        F.lit("User-agent: *\nDisallow: "),
+        disallow,
+        F.lit("\nAllow: /pub\nCrawl-delay: "),
+        delay.cast("string"),
+        F.lit("\n"),
+    )

@@ -111,3 +111,58 @@ def test_default_budget_for_unknown_host(spark):
         pending_df(spark, rows), budgets, 10.0, default_delay_s=2.0
     )
     assert picked.count() == math.floor(10.0 / 2.0)
+
+
+def test_parse_robots_sections_comments_and_filter_integration(spark):
+    """Sectional parsing: only the * block is honored, comments/blank lines
+    ignored, empty Disallow == allow-all, crawl-delay host-wide; parsed rules
+    drive robots_filter directly."""
+    from pyspark.sql import functions as F
+
+    from crawler_service_spark.operators.politeness import robots_filter
+    from crawler_service_spark.operators.robots import parse_robots, robots_filter_spec
+
+    body_a = (
+        "# comment\n"
+        "User-agent: googlebot\nDisallow: /google-only\n"
+        "\n"
+        "User-agent: *\n"
+        "Crawl-delay: 2.5\n"
+        "Disallow: /private\n"
+        "Allow: /private/pub\n"
+    )
+    body_b = "User-agent: *\nDisallow:\n"  # allow-all idiom
+    df = spark.createDataFrame(
+        [("a.com", body_a), ("b.com", body_b)], "host string, robots_txt string"
+    )
+    rules = parse_robots(df)
+    got = {
+        (r["host"], r["path_prefix"]): (r["allow"], r["crawl_delay_s"])
+        for r in rules.collect()
+    }
+    assert got == {
+        ("a.com", "/private"): (False, 2.5),
+        ("a.com", "/private/pub"): (True, 2.5),
+        ("b.com", ""): (True, 1.0),
+    }
+    # the googlebot-only rule must NOT leak into the * rules
+    assert ("a.com", "/google-only") not in got
+
+    cand = spark.createDataFrame(
+        [("a.com", "/private/x"), ("a.com", "/private/pub/y"), ("a.com", "/ok"),
+         ("b.com", "/anything")],
+        "host string, path string",
+    )
+    # engine contract (any matching Disallow blocks; Allow rows only feed
+    # budgets) — what the crawl oracle implements:
+    kept = sorted(
+        (r["host"], r["path"]) for r in robots_filter(cand, rules).collect()
+    )
+    assert kept == [("a.com", "/ok"), ("b.com", "/anything")]
+    # Google-spec precedence (longest match governs, Allow wins ties):
+    kept_spec = sorted(
+        (r["host"], r["path"]) for r in robots_filter_spec(cand, rules).collect()
+    )
+    assert kept_spec == [
+        ("a.com", "/ok"), ("a.com", "/private/pub/y"), ("b.com", "/anything")
+    ]

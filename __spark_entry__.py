@@ -557,6 +557,18 @@ def _ann_lsh_multiprobe(spark, sf):
     )
 
 
+IVF_LISTS, IVF_PROBE = 16, 2
+
+
+def _ann_ivf_topk(spark, sf):
+    """IVF ANN: deterministic seed-sampled coarse quantizer, 2-probe, exact
+    integer-cosine re-rank inside the probed inverted lists."""
+    return similarity.ivf_topk(
+        _quantized(spark, sf), _query_qvec(spark, sf), k=10,
+        n_lists=IVF_LISTS, n_probe=IVF_PROBE,
+    )
+
+
 def _dedup_embedding_lsh(spark, sf):
     """Scale twin of dedup_embedding_pairs: banded hyperplane LSH candidates
     + exact integer-dot verify (plan: equi-joins only, no CartesianProduct).
@@ -647,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_lsh_multiprobe": _ann_lsh_multiprobe,
+        "ann_ivf_topk": _ann_ivf_topk,
         "multimodal_features": _multimodal_features,
         "multimodal_decode": _multimodal_decode,
     }
@@ -886,6 +899,39 @@ def _ann_lsh_sql(probe_radius: int = 0) -> str:
         FROM bk
         WHERE {where}
         ORDER BY cosine_micros DESC, vec_id ASC LIMIT 10
+    """
+    )
+
+
+def _ann_ivf_sql() -> str:
+    """DuckDB twin of ivf_topk: centroids = vec_id < n_lists, assignment via
+    windowed argmin on the integer score, probes via the same ranking for
+    the query row."""
+    return (
+        _norm_cte()
+        + f"""
+        , cents AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {IVF_LISTS}),
+        scored AS (
+            SELECT v.vec_id, c.cid,
+                   -2 * CAST(list_dot_product(v.qv, c.cv) AS BIGINT)
+                     + CAST(list_dot_product(c.cv, c.cv) AS BIGINT) AS score
+            FROM q v, cents c
+        ),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ),
+        probes AS (SELECT cid FROM scored WHERE vec_id = 0 ORDER BY score, cid LIMIT {IVF_PROBE}),
+        qq AS (SELECT qv, norm FROM nrm WHERE vec_id = 0)
+        SELECT nrm.vec_id,
+               (1000000 * CAST(list_dot_product(nrm.qv, (SELECT qv FROM qq)) AS BIGINT))
+                   // (norm * (SELECT norm FROM qq)) AS cosine_micros
+        FROM nrm JOIN assign ON nrm.vec_id = assign.vec_id
+        WHERE assign.cid IN (SELECT cid FROM probes)
+        ORDER BY cosine_micros DESC, nrm.vec_id ASC LIMIT 10
     """
     )
 
@@ -1160,6 +1206,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ann_cosine_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_lsh_multiprobe": _ann_lsh_sql(probe_radius=1),
+        "ann_ivf_topk": _ann_ivf_sql(),
         "dedup_embedding_pairs": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot

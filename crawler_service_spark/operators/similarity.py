@@ -233,6 +233,65 @@ def int_lsh_topk(
     )
 
 
+def ivf_assign(
+    quantized: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    qv_col: str = "qv",
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest of
+    ``n_lists`` centroids. Centroids are the ``n_lists`` smallest-id vectors
+    (deterministic sampling init — the standard cheap IVF seeding; Lloyd
+    refinement would improve balance but breaks nothing here). Distance
+    ranking uses ``-2*dot(v,c) + |c|^2`` (== squared L2 up to the per-row
+    constant |v|^2), all integer-exact, ties to the smaller centroid id.
+
+    Plan: the K centroid rows broadcast; assignment is a map-side K-way
+    score + one groupBy argmin — the inverted lists then act like hash
+    buckets for query probing (ivf_topk). Returns quantized + ``list_id``.
+    """
+    cents = quantized.filter(F.col(id_col) < n_lists).select(
+        F.col(id_col).alias("cid"), F.col(qv_col).alias("cv")
+    )
+    scored = quantized.join(F.broadcast(cents))  # n x K, K tiny
+    score = (
+        F.lit(-2) * int_dot_col(F.col(qv_col), F.col("cv"))
+        + int_dot_col(F.col("cv"), F.col("cv"))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct(score.alias("s"), F.col("cid").alias("cid"))).alias("b")
+    ).select(id_col, F.col("b.cid").alias("list_id"))
+    return quantized.join(best, id_col)
+
+
+def ivf_topk(
+    quantized: DataFrame,
+    qvec: list[int],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    qv_col: str = "qv",
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``n_probe`` centroids nearest the query,
+    exact integer-cosine re-rank inside their inverted lists. ``n_probe`` is
+    the recall lever (n_probe == n_lists degrades gracefully to exact)."""
+    cents = [
+        (int(r["cid"]), [int(x) for x in r["cv"]])
+        for r in quantized.filter(F.col(id_col) < n_lists)
+        .select(F.col(id_col).alias("cid"), F.col(qv_col).alias("cv"))
+        .collect()
+    ]
+    def score(cv: list[int]) -> int:
+        return -2 * sum(a * b for a, b in zip(qvec, cv)) + sum(c * c for c in cv)
+    probes = [cid for cid, cv in sorted(cents, key=lambda t: (score(t[1]), t[0]))[:n_probe]]
+    assigned = ivf_assign(quantized, n_lists=n_lists, id_col=id_col, qv_col=qv_col)
+    return int_cosine_topk(
+        assigned.filter(F.col("list_id").isin(probes)), qvec, k=k,
+        id_col=id_col, qv_col=qv_col,
+    )
+
+
 def lsh_band_buckets(
     quantized: DataFrame,
     planes: list[list[int]],

@@ -161,3 +161,22 @@ def test_multiprobe_lsh_recall_monotone(spark, planted_embeddings):
         assert sizes == sorted(sizes), "candidate set must grow with radius"
     assert hits[0] <= hits[1] <= hits[2]
     assert hits[2] >= 0.9 * n_queries, f"radius-2 near-dup recall {hits[2]}/{n_queries}"
+
+
+def test_ivf_topk_recall_and_exact_degradation(spark, planted_embeddings):
+    """IVF: probing every list must equal exact top-k; fewer probes trade
+    recall for scan volume but keep recovering planted near-dups."""
+    df, _ = planted_embeddings
+    qvec = [int(v) for v in df.filter(F.col("vec_id") == 5).collect()[0]["qv"]]
+    exact = [(r["vec_id"], r["cosine_micros"])
+             for r in similarity.int_cosine_topk(df, qvec, k=10).collect()]
+    full = [(r["vec_id"], r["cosine_micros"])
+            for r in similarity.ivf_topk(df, qvec, k=10, n_lists=8, n_probe=8).collect()]
+    assert full == exact, "n_probe == n_lists must be exact"
+    hits = 0
+    for q in range(6):
+        qv = [int(v) for v in df.filter(F.col("vec_id") == q).collect()[0]["qv"]]
+        got = {r["vec_id"] for r in similarity.ivf_topk(df, qv, k=10, n_lists=8, n_probe=2).collect()}
+        if 300 + q in got:
+            hits += 1
+    assert hits >= 5, f"2/8-probe IVF missed too many planted dups ({hits}/6)"

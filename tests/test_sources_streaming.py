@@ -111,3 +111,48 @@ def test_stateful_budget_gate_across_microbatches(spark, tmp_path):
     assert len(by_host["a.com"]) == 3 and len(by_host["b.com"]) == 3
     # budget admits in seed_order: a.com/3 is the one admitted from batch 2
     assert sorted(by_host["a.com"]) == ["https://a.com/1", "https://a.com/2", "https://a.com/3"]
+
+
+def test_windowed_metrics_watermark_late_data(spark, tmp_path):
+    """Event-time windows with a watermark: in-order and tolerably-late
+    events land in their window; a window emits exactly once (append mode)
+    after the watermark passes; too-late events are dropped."""
+    from datetime import datetime
+
+    from crawler_service_spark.streaming import run_windowed_metrics_stream
+
+    ev_dir = str(tmp_path / "events")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ev_dir)
+    t = lambda m, s=0: datetime(2026, 1, 1, 10, m, s)
+    schema = "host string, url string, fetched_at timestamp, bytes long, ok boolean"
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(ev_dir)
+
+    # batch 1: two windows of events for host a + an out-of-order event
+    drop([
+        ("a", "u1", t(0, 10), 100, True),
+        ("a", "u2", t(0, 50), 200, True),
+        ("a", "u3", t(1, 10), 300, False),
+        ("a", "u0", t(0, 30), 50, True),   # out of order, same window
+        ("b", "u4", t(5, 0), 10, True),    # advances the watermark to 10:03
+    ])
+    run_windowed_metrics_stream(spark, ev_dir, sink, ckpt)
+    out1 = {(r["window_start"].minute, r["host"]): r for r in spark.read.parquet(sink).collect()}
+    # watermark = max(10:05) - 2min = 10:03 -> windows [10:00) and [10:01) closed
+    assert out1[(0, "a")]["n_fetches"] == 3 and out1[(0, "a")]["bytes"] == 350
+    assert out1[(1, "a")]["n_fetches"] == 1 and out1[(1, "a")]["n_ok"] == 0
+    assert (5, "b") not in out1  # b's window not closed yet
+
+    # batch 2: an event LATER than the watermark for the closed 10:00 window
+    # is dropped; a fresh event far ahead closes b's window
+    drop([
+        ("a", "u9", t(0, 40), 999, True),   # too late -> dropped
+        ("b", "u5", t(9, 0), 20, True),     # watermark -> 10:07, closes 10:05
+    ])
+    run_windowed_metrics_stream(spark, ev_dir, sink, ckpt)
+    out2 = {(r["window_start"].minute, r["host"]): r for r in spark.read.parquet(sink).collect()}
+    assert out2[(0, "a")]["n_fetches"] == 3, "closed window must not change"
+    assert out2[(5, "b")]["n_fetches"] == 1

@@ -508,8 +508,7 @@ def _int_dot(a, b):
 
 def _ann_dot_topk(spark, sf):
     q = _quantized(spark, sf)
-    qvec = q.filter(F.col("vec_id") == 0).collect()[0]["qv"]
-    lit_q = F.array(*[F.lit(int(v)) for v in qvec])
+    lit_q = F.array(*[F.lit(v) for v in _query_qvec(spark, sf)])
     scored = q.select("vec_id", _int_dot(F.col("qv"), lit_q).alias("dot"))
     return scored.orderBy(F.col("dot").desc(), F.col("vec_id").asc()).limit(DOT_TOPK)
 

@@ -300,18 +300,43 @@ def lsh_band_buckets(
     qv_col: str = "qv",
 ) -> DataFrame:
     """(id, band, key): banded sign-bit bucket keys over integer hyperplanes.
-    len(planes) must be a multiple of band_bits."""
-    bits = int_lsh_bits_col(F.col(qv_col), planes)
+    len(planes) must be a multiple of band_bits.
+
+    Computed as ONE int64 numpy matmul per Arrow batch (exact — all values
+    stay far below 2^63, so this is the same integer contract as the JVM
+    expression form in ``int_lsh_bits_col``, which a 1024-literal plane
+    matrix would otherwise unroll into a codegen-hostile expression tree).
+    """
+    from collections.abc import Iterator
+
+    from ..plans.partitioning import widen
+
+    plane_mat = np.array(planes, dtype=np.int64)  # (n_planes, dim)
     n_bands = len(planes) // band_bits
-    bands = []
-    for b in range(n_bands):
-        key = F.lit(0).cast("long")
-        for i in range(band_bits):
-            key = key + F.when(bits[b * band_bits + i], F.lit(1 << i)).otherwise(0)
-        bands.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
-    return quantized.select(
-        F.col(id_col).alias("id"), F.explode(F.array(*bands)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    weights = 1 << np.arange(band_bits, dtype=np.int64)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[qv_col].to_numpy()).astype(np.int64)
+            bits = (mat @ plane_mat.T) > 0  # exact integer matmul
+            ids = pdf[id_col].to_numpy()
+            frames = [
+                pd.DataFrame(
+                    {
+                        "id": ids,
+                        "band": np.full(len(ids), b, dtype=np.int32),
+                        "key": bits[:, b * band_bits : (b + 1) * band_bits] @ weights,
+                    }
+                )
+                for b in range(n_bands)
+            ]
+            yield pd.concat(frames, ignore_index=True)
+
+    return widen(quantized.select(id_col, qv_col)).mapInPandas(
+        assign, schema="id long, band int, key long"
+    )
 
 
 def lsh_neardup_pairs(

@@ -17,8 +17,10 @@ Cross-engine parity rules used throughout (see operator docstrings):
   norms (``isqrt``) and truncating division, LSH buckets use md5-derived
   integer hyperplanes — every ANN/LSH query is fully oracle-checked.
 
-The only rows-only entry left is ``multimodal_decode`` (the honest codec
-stub; DuckDB has no twin for the stand-in decoder).
+Every registered query is oracle-checked — including ``multimodal_decode``,
+whose deterministic stand-in decoder (the honest codec stub) derives
+dimensions from payload bytes and is therefore itself SQL-expressible; a
+real codec would run rows-only.
 """
 
 from __future__ import annotations
@@ -1245,6 +1247,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(list_dot_product({_QUANT}, (SELECT qv FROM q)) AS BIGINT) AS dot
             FROM embeddings
             ORDER BY dot DESC, vec_id ASC LIMIT {DOT_TOPK}
+        """,
+        # the deterministic stand-in decoder is itself SQL-expressible
+        # (dimensions from first/last payload bytes), so even the codec STUB's
+        # plumbing is oracle-checked; a real codec would be rows-only
+        "multimodal_decode": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind,
+                       hex(encode(text)) AS hx,
+                       octet_length(encode(text)) AS n
+                FROM documents
+            )
+            SELECT media_id, kind,
+                   CAST(16 + (('0x' || substr(hx, 1, 2))::INT % 64) * 16 AS INT) AS width,
+                   CAST(16 + (('0x' || substr(hx, 2*n - 1, 2))::INT % 64) * 16 AS INT) AS height,
+                   CAST(CASE WHEN kind = 'image' THEN 3 ELSE 1 END AS INT) AS channels,
+                   CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + n // 1024 END AS INT) AS frames
+            FROM m
         """,
         # byte-level features over the utf-8 payload: bytes recovered via
         # hex(encode(text)) two chars at a time — engine-agnostic and exact

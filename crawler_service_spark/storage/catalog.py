@@ -196,5 +196,20 @@ class ManifestCatalog:
                 out.append(json.load(f)["commit_id"])
         return out
 
+    def compact(self, table: str, commit_id: str, files: int | None = None) -> bool:
+        """Rewrite the table's current snapshot as ONE overwrite commit.
+
+        Long crawls append thousands of tiny per-iteration commits to
+        ``seen``/``crawl_order``/``extraction_jobs``; snapshot reads then pay
+        per-file open cost. Compaction folds them into a single commit
+        (Iceberg's rewrite_data_files analogue). Snapshot isolation is
+        preserved: older ``upto=`` reads still replay the pre-compaction
+        manifest chain untouched.
+        """
+        df = self.read(table)
+        if df is None:
+            return False
+        return self.commit(table, df, commit_id, mode="overwrite", coalesce=files)
+
     def drop(self, table: str) -> None:
         shutil.rmtree(self._table_dir(table), ignore_errors=True)

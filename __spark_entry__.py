@@ -598,15 +598,33 @@ def _multimodal_features(spark, sf):
     return multimodal.extract_byte_features(media).drop("byte_entropy_millis")
 
 
-def _multimodal_decode(spark, sf):
+def _media_df(spark, sf):
     d = _t(spark, sf, "documents")
-    media = d.select(
+    return d.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 2 == 0, "image").otherwise("video").alias("kind"),
         F.encode("text", "utf-8").alias("payload"),
         F.create_map().cast("map<string,string>").alias("meta"),
     )
-    return multimodal.decode_media(media, fake_decode=True)
+
+
+def _multimodal_frames(spark, sf):
+    """Frame sampling as a UDTF-shaped mapInPandas: one row per 256-byte
+    frame window, hash = first 8 window bytes as little-endian int64."""
+    return multimodal.sample_frames(_media_df(spark, sf), every_n_bytes=256)
+
+
+def _multimodal_resize(spark, sf):
+    """Stub-backed resize: real Spark plumbing (schema/batching/size math),
+    deterministic stand-in resampler; payload dropped from the registered
+    output (binary hashes fine but n_bytes is the contract being checked)."""
+    return multimodal.resize_media(
+        _media_df(spark, sf), target_w=64, target_h=64, fake_decode=True
+    ).drop("payload")
+
+
+def _multimodal_decode(spark, sf):
+    return multimodal.decode_media(_media_df(spark, sf), fake_decode=True)
 
 
 # --------------------------------------------------------------------------- #
@@ -663,6 +681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "multimodal_features": _multimodal_features,
         "multimodal_decode": _multimodal_decode,
+        "multimodal_frames": _multimodal_frames,
+        "multimodal_resize": _multimodal_resize,
     }
 
 
@@ -823,6 +843,37 @@ def _robots_parse_sql() -> str:
                (key = 'allow' OR val = '') AS allow,
                crawl_delay_s
         FROM with_delay WHERE key IN ('allow', 'disallow')
+    """
+
+
+def _frames_sql() -> str:
+    """DuckDB twin of sample_frames: per-window little-endian int64 of the
+    first 8 window bytes, HUGEINT arithmetic + signed wraparound."""
+    terms = " + ".join(
+        '(CASE WHEN "offset" + {j} < n THEN '
+        "('0x' || substr(hx, 2*(\"offset\" + {j}) + 1, 2))::BIGINT ELSE 0 END) "
+        "* {w}::HUGEINT".format(j=j, w=256**j)
+        for j in range(8)
+    )
+    return f"""
+        WITH m AS (
+            SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        ),
+        fr AS (
+            SELECT media_id, hx, n, CAST(i - 1 AS INT) AS frame_idx,
+                   CAST((i - 1) * 256 AS BIGINT) AS "offset"
+            FROM m, unnest(range(1, CAST(ceil(n / 256.0) AS BIGINT) + 1)) AS u(i)
+            WHERE n > 0
+        ),
+        v AS (
+            SELECT media_id, frame_idx, "offset", ({terms}) AS raw FROM fr
+        )
+        SELECT media_id, frame_idx, "offset",
+               CAST(CASE WHEN raw >= 9223372036854775808 THEN raw - 18446744073709551616
+                         ELSE raw END AS BIGINT) AS frame_hash
+        FROM v
     """
 
 
@@ -1265,6 +1316,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN kind = 'image' THEN 3 ELSE 1 END AS INT) AS channels,
                    CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + n // 1024 END AS INT) AS frames
             FROM m
+        """,
+        # frame sampling: hash = first 8 window bytes as little-endian signed
+        # int64, reconstructed in SQL from the hex with HUGEINT wraparound
+        "multimodal_frames": _frames_sql(),
+        # stand-in resizer contract: integer round-half-up stride from the
+        # fake-decoded dims, output length = ceil(n / stride)
+        "multimodal_resize": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind,
+                       hex(encode(text)) AS hx,
+                       octet_length(encode(text)) AS n
+                FROM documents
+            ),
+            dims AS (
+                SELECT media_id, kind, n,
+                       16 + (('0x' || substr(hx, 1, 2))::INT % 64) * 16 AS w,
+                       16 + (('0x' || substr(hx, 2*n - 1, 2))::INT % 64) * 16 AS h
+                FROM m
+            )
+            SELECT media_id, kind,
+                   CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+                   CAST((n + greatest(1, (w*h + 2048) // 4096) - 1)
+                        // greatest(1, (w*h + 2048) // 4096) AS BIGINT) AS n_bytes
+            FROM dims
         """,
         # byte-level features over the utf-8 payload: bytes recovered via
         # hex(encode(text)) two chars at a time — engine-agnostic and exact

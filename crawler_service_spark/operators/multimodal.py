@@ -139,6 +139,55 @@ def decode_media(media: DataFrame, fake_decode: bool = False) -> DataFrame:
     return widen(media).mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, target_w: int, target_h: int, fake_decode: bool = False
+) -> DataFrame:
+    """STUB-gated resize (no image codecs in this container; a real deploy
+    swaps the body for PIL/ffmpeg).
+
+    The deterministic stand-in keeps ALL the Spark-side contract real —
+    schema, Arrow batching, output payload sizing: source dims come from the
+    same fake decoder as ``decode_media`` and the payload is stride-
+    subsampled to ~(target area / source area) of its bytes, so downstream
+    operators see size-reduced binaries exactly as they would from a real
+    resampler.
+    """
+    if not fake_decode:
+        raise NotImplementedError(
+            "media codecs unavailable in this environment; pass fake_decode=True "
+            "to exercise the pipeline with the deterministic stand-in resizer"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                b = payload or b"\x00\x00"
+                w = 16 + (b[0] % 64) * 16
+                h = 16 + (b[-1] % 64) * 16
+                # integer round-half-up area ratio: deterministic AND
+                # SQL-expressible (float round() ties differ across engines)
+                target = target_w * target_h
+                stride = max(1, (w * h + target // 2) // target)
+                out = b[::stride]
+                rows.append((int(mid), kind, target_w, target_h, out, len(out)))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return widen(media).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 256) -> DataFrame:
     """"Frame sampling" over binary payloads: one output row per sampled
     offset (UDTF shape: 1 row -> many). Deterministic; exercises the

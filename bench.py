@@ -51,6 +51,7 @@ HEADLINE_QUERIES = [
     "dedup_embedding_lsh",
     "ann_dot_topk",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "multimodal_features",
 ]
 

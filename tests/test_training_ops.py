@@ -180,3 +180,30 @@ def test_ivf_topk_recall_and_exact_degradation(spark, planted_embeddings):
         if 300 + q in got:
             hits += 1
     assert hits >= 5, f"2/8-probe IVF missed too many planted dups ({hits}/6)"
+
+
+def test_sample_frames_and_resize_contracts(spark):
+    """Frame windows are byte-derived and deterministic; the stand-in resizer
+    subsamples by the integer round-half-up stride."""
+    payload = bytes(range(256)) * 2 + b"XY"   # 514 bytes -> 3 frames
+    rows = [(1, "video", payload, {})]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    frames = {r["frame_idx"]: r for r in multimodal.sample_frames(df, 256).collect()}
+    assert sorted(frames) == [0, 1, 2]
+    assert frames[1]["offset"] == 256
+    assert frames[0]["frame_hash"] == int.from_bytes(payload[:8], "little", signed=True)
+    assert frames[2]["frame_hash"] == int.from_bytes(
+        payload[512:].ljust(8, b"\x00"), "little", signed=True
+    )
+
+    out = multimodal.resize_media(df, 64, 64, fake_decode=True).collect()[0]
+    w = 16 + (payload[0] % 64) * 16
+    h = 16 + (payload[-1] % 64) * 16
+    stride = max(1, (w * h + 2048) // 4096)
+    assert out["width"] == 64 and out["height"] == 64
+    assert bytes(out["payload"]) == payload[::stride]
+    assert out["n_bytes"] == len(payload[::stride])
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        multimodal.resize_media(df, 64, 64)  # codec path is an honest stub

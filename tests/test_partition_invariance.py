@@ -45,3 +45,42 @@ def test_crawl_state_invariant_across_partitioning(
     )
     assert snap3 == snap13
     assert snap3["state"][1] == "complete"
+
+
+def test_doc_pipeline_ops_invariant_across_partitioning(spark):
+    """The training-data operators are pure functions of their input set:
+    identical results at shuffle_partitions 2 vs 7 and input repartition
+    1 vs 5 (aggregations, LSH bucketing, verification joins are all
+    order-independent by construction)."""
+    from pyspark.sql import functions as F
+
+    from crawler_service_spark.operators import docdedup, similarity, textquality
+
+    base = "the quick brown fox jumps over the lazy dog again and again tonight"
+    docs_rows = [(i, f"{base} variant {i % 7} tail {i}") for i in range(60)]
+    vec_rows = [
+        (i, [((i * 37 + j * 11) % 2001) - 1000 for j in range(16)]) for i in range(60)
+    ]
+
+    def run(n_parts: int, n_input: int):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        try:
+            docs = spark.createDataFrame(docs_rows, "doc_id long, text string").repartition(n_input)
+            vecs = spark.createDataFrame(vec_rows, "vec_id long, qv array<long>").repartition(n_input)
+            return {
+                "minhash": sorted(map(tuple, docdedup.minhash_verified_pairs(
+                    docs, threshold_permille=300).collect())),
+                "simhash": sorted(map(tuple, docdedup.simhash(docs).collect())),
+                "fingerprint": sorted(map(tuple, textquality.fingerprint(docs).collect())),
+                "lsh_pairs": sorted(map(tuple, similarity.lsh_neardup_pairs(
+                    vecs, dim=16, dot_threshold=100_000, n_planes=16, band_bits=4).collect())),
+                "ivf": [tuple(r) for r in similarity.ivf_topk(
+                    vecs, [v for v in vec_rows[0][1]], k=5, n_lists=4, n_probe=2).collect()],
+            }
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    a = run(2, 1)
+    b = run(7, 5)
+    assert a == b

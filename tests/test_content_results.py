@@ -152,3 +152,42 @@ def test_fetch_extraction_jobs_pluck_semantics(spark, tmp_path):
     empty_cat = ManifestCatalog(str(tmp_path / "wd2"), spark)
     rows, _, empty = fetch_extraction_jobs(empty_cat, "c1")
     assert rows == [] and empty
+
+
+def test_connector_listing_adapters_drive_and_box(spark):
+    """S4/S5 offline shapes: public-API-shaped listing rows normalize to the
+    frontier-candidate schema and split dirs-to-frontier / files-to-extract
+    like the reference's queue re-entry (crawlers/box.py:27-43,
+    tests/drive_tester.py:15-17)."""
+    from crawler_service_spark.sources import (
+        box_listing_to_candidates,
+        drive_listing_to_candidates,
+        split_frontier_and_files,
+    )
+
+    drive = spark.createDataFrame(
+        [
+            ("f1", "report.pdf", "application/pdf", "root", 1024),
+            ("d1", "subdir", "application/vnd.google-apps.folder", "root", None),
+        ],
+        "id string, name string, mimeType string, parent_id string, size long",
+    )
+    cand = drive_listing_to_candidates(drive)
+    rows = {r["name"]: r for r in cand.collect()}
+    assert rows["report.pdf"]["url"] == "https://drive.google.com/file/d/f1"
+    assert not rows["report.pdf"]["is_dir"] and rows["report.pdf"]["size"] == 1024
+    assert rows["subdir"]["is_dir"] and rows["subdir"]["size"] == 0
+    assert rows["subdir"]["parent_url"].endswith("/folders/root")
+    dirs, files = split_frontier_and_files(cand)
+    assert dirs.count() == 1 and files.count() == 1
+
+    box = spark.createDataFrame(
+        [
+            ("file", "99", "data.csv", "112657269903", 2048),
+            ("folder", "77", "covid", "112657269903", None),
+        ],
+        "type string, id string, name string, parent_folder_id string, size long",
+    )
+    bc = {r["name"]: r for r in box_listing_to_candidates(box).collect()}
+    assert bc["data.csv"]["url"] == "https://app.box.com/file/99"
+    assert bc["covid"]["url"] == "https://app.box.com/folder/77" and bc["covid"]["is_dir"]

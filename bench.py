@@ -82,7 +82,7 @@ def sat_fixture(sf: float) -> dict[str, str]:
     signal needs parallel work >> fixed cost; at a 10^10-URL frontier one
     iteration schedules ~10^7-10^8 URLs, so the representative regime is the
     LARGEST batch the sandbox can turn around, not the sf crawl's ~10^4.
-    Measured fit at sf0.1: wall = W/N + f with W ~ 270 core-s, f ~ 10 s)."""
+    Measured fit at sf0.1: wall = W/N + f with W ~ 200 core-s, f ~ 6-10 s)."""
     n_pages = max(4_000, int(6_000_000 * sf))
     spec = FixtureSpec(n_pages=n_pages, n_hosts=192, n_seeds=64, seed=42, pad_bytes=12_288)
     out = os.path.join(CACHE, f"fixture-sat-{n_pages}")

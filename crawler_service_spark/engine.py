@@ -5,7 +5,8 @@ Each iteration k is a pure DataFrame job over the snapshot of iteration k-1:
     (pending_{k-1}, seen_{k-1})
         -> politeness-rank (window top-budget per host, salted for skew)
         -> fetch (join against the pages table; misses -> dead-letter lineage)
-        -> extract text (Arrow/pandas UDF, byte-exact) + outlinks (JVM regexp)
+        -> extract text + outlinks (JVM regexp, byte-exact; pandas-UDF seam
+           available for arbitrary extractors) + drop html pre-checkpoint
         -> robots filter -> in-batch first-occurrence dedup
         -> bloom fast-path + exact anti-join vs seen
         -> deterministic global seq assignment (distributed two-pass)

@@ -5,13 +5,17 @@ Two paths, as a training-data pipeline needs at 100 TB:
 - **brute-force cosine top-k** — the correctness baseline: JVM-side
   ``zip_with``/``aggregate`` dot products against a broadcast query vector,
   ``TakeOrderedAndProject`` top-k (never a full sort). O(n) per query.
-- **LSH-bucketed ANN** — the scale path: random-hyperplane signatures
-  (deterministic seeded numpy, vectorized over whole Arrow batches in a
-  mapInPandas stage — one matmul per batch, no per-row Python), then
-  candidates come only from the query's bucket; exact cosine re-rank inside
-  the bucket. Shuffle key = signature bits: uniform, skew-free.
-- **embedding cosine near-dup pairs** — all-pairs >= threshold inside LSH
-  buckets (exact variant for small n used as the oracle-checked query).
+- **LSH-bucketed ANN** — the scale path: hyperplane sign signatures, either
+  md5-derived INTEGER planes (cross-engine exact -> oracle-checked:
+  int_lsh_topk single/multi-probe, lsh_neardup_pairs banded pair dedup with
+  exact-dot verification) or seeded-numpy float planes (with_lsh_bucket /
+  ann_lsh_topk, the raw-float variant). Bucket keys come from one exact
+  int64 matmul per Arrow batch; shuffle key = signature bits, uniform.
+- **IVF ANN** — deterministic seed-sampled coarse quantizer (ivf_assign /
+  ivf_topk): integer squared-L2 argmin assignment, n_probe nearest lists
+  probed, exact integer-cosine re-rank; n_probe == n_lists degrades to exact.
+- **embedding cosine near-dup pairs** — all-pairs >= threshold
+  (cosine_neardup_pairs, the small-n oracle twin of lsh_neardup_pairs).
 """
 
 from __future__ import annotations
@@ -22,6 +26,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .textquality import h32_py
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -98,9 +104,6 @@ def cosine_neardup_pairs(
 # cosines: that is what lets the LSH queries be oracle-checked instead of
 # rows-only. The numpy hyperplane path further down stays as the raw-float
 # production variant (one matmul per Arrow batch).
-
-
-from .textquality import h32_py
 
 
 def int_planes(dim: int, n_planes: int, tag: str = "plane") -> list[list[int]]:

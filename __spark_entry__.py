@@ -488,6 +488,16 @@ def _text_fingerprint(spark, sf):
     return textquality.fingerprint(_t(spark, sf, "documents"))
 
 
+def _text_gopher_quality(spark, sf):
+    """Gopher-style pre-training quality gates (integer-scaled)."""
+    return textquality.gopher_quality(_t(spark, sf, "documents"))
+
+
+def _text_repetition(spark, sf):
+    """Gopher repetition signals: top-unigram / top-bigram share."""
+    return textquality.repetition_metrics(_t(spark, sf, "documents"))
+
+
 def _text_token_count(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select("doc_id", textquality.token_count_col("text").cast("long").alias("token_count"))
@@ -674,6 +684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _text_langid,
         "text_fingerprint": _text_fingerprint,
         "text_token_count": _text_token_count,
+        "text_gopher_quality": _text_gopher_quality,
+        "text_repetition": _text_repetition,
         "ann_dot_topk": _ann_dot_topk,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -1293,6 +1305,48 @@ def oracle_sql() -> dict[str, str]:
             FROM hashed GROUP BY doc_id
         """,
         "text_token_count": f"SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS token_count FROM documents",
+        "text_gopher_quality": f"""
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(len({_TOKS}) AS BIGINT) AS word_count,
+                       CAST(CASE WHEN len({_TOKS}) > 0
+                            THEN (1000 * list_sum(list_transform({_TOKS}, x -> length(x)))) // len({_TOKS})
+                            ELSE 0 END AS BIGINT) AS mean_word_len_millis,
+                       CAST(CASE WHEN len({_TOKS}) > 0
+                            THEN (1000 * len(list_filter({_TOKS}, x -> regexp_matches(x, '[a-z]')))) // len({_TOKS})
+                            ELSE 0 END AS BIGINT) AS alpha_word_permille,
+                       CAST({" + ".join(f"len(list_filter({_TOKS}, x -> x = '{w}'))" for w in textquality.LANG_MARKERS["en"])} AS BIGINT) AS stopword_hits
+                FROM documents
+            )
+            SELECT *,
+                   (word_count >= 50 AND word_count <= 100000
+                    AND mean_word_len_millis >= 3000 AND mean_word_len_millis <= 10000
+                    AND alpha_word_permille >= 800
+                    AND stopword_hits >= 2) AS gopher_pass
+            FROM c
+        """,
+        "text_repetition": f"""
+            WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            uni AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+            us AS (
+                SELECT doc_id, CAST((1000 * max(c)) // sum(c) AS BIGINT) AS top_unigram_permille
+                FROM uni GROUP BY doc_id
+            ),
+            bsh AS (
+                SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg
+                FROM (SELECT doc_id, {_TOKS} AS t FROM documents),
+                     unnest(range(1, greatest(len(t), 1))) AS u(i)
+                WHERE len(t) >= 2
+            ),
+            bgc AS (SELECT doc_id, bg, count(*) AS c FROM bsh GROUP BY 1, 2),
+            bs AS (
+                SELECT doc_id, CAST((1000 * max(c)) // sum(c) AS BIGINT) AS top_bigram_permille
+                FROM bgc GROUP BY doc_id
+            )
+            SELECT us.doc_id, top_unigram_permille,
+                   CAST(coalesce(top_bigram_permille, 0) AS BIGINT) AS top_bigram_permille
+            FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+        """,
         "ann_dot_topk": f"""
             WITH q AS (SELECT {_QUANT} AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id, CAST(list_dot_product({_QUANT}, (SELECT qv FROM q)) AS BIGINT) AS dot

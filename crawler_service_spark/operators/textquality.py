@@ -115,3 +115,84 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return toks.groupBy("doc_id").agg(
         F.pmod(F.sum((F.col("pos") + 1) * h32("tok")), F.lit(2147483648)).alias("fingerprint")
     )
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-rules-style quality gates (the standard webtext pre-training
+    filter family): word count bounds, mean word length, alphabetic-word
+    ratio, stopword presence — all integer-scaled JVM built-ins so the DuckDB
+    oracle matches bit-for-bit. ``gopher_pass`` applies the canonical
+    thresholds (50 <= words <= 100k, 3 <= mean word len <= 10 in millis,
+    >=80% alphabetic words, >=2 stopword hits)."""
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("long")
+    # ratio exprs resolve against the projected counters below
+    mean_word_len_millis = F.when(
+        F.col("nw") > 0, F.expr("div(1000 * swl, nw)")
+    ).otherwise(F.lit(0).cast("long"))
+    alpha_permille = F.when(
+        F.col("nw") > 0, F.expr("div(1000 * aw, nw)")
+    ).otherwise(F.lit(0).cast("long"))
+    stop = sum(
+        (_count_occurrences(t, w) for w in LANG_MARKERS["en"]),
+        F.lit(0).cast("long"),
+    )
+    base = docs.select(
+        "doc_id", n_words.alias("nw"), sum_len.alias("swl"), alpha_words.alias("aw"),
+        stop.alias("stopword_hits"),
+    )
+    out = base.select(
+        "doc_id",
+        F.col("nw").alias("word_count"),
+        mean_word_len_millis.alias("mean_word_len_millis"),
+        alpha_permille.alias("alpha_word_permille"),
+        "stopword_hits",
+    )
+    gopher_pass = (
+        (F.col("word_count") >= 50) & (F.col("word_count") <= 100_000)
+        & (F.col("mean_word_len_millis") >= 3000) & (F.col("mean_word_len_millis") <= 10_000)
+        & (F.col("alpha_word_permille") >= 800)
+        & (F.col("stopword_hits") >= 2)
+    )
+    return out.withColumn("gopher_pass", gopher_pass)
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher repetition signals: share of word occurrences consumed by the
+    single most frequent token and by the most frequent word-bigram
+    (integer permille; high values flag boilerplate/spam)."""
+    from ..plans.partitioning import widen
+
+    toks = widen(docs).select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
+    uni = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    uni_stats = uni.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_tok")
+    )
+    top_unigram = uni_stats.select(
+        "doc_id",
+        F.expr("div(1000 * top_c, n_tok)").alias("top_unigram_permille"),
+    )
+    ta = tokens_col(text_col)
+    bigrams = F.when(
+        F.size(ta) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ta) - 1),
+            lambda i: F.concat_ws(" ", F.slice(ta, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = widen(docs).select("doc_id", F.explode(bigrams).alias("bg"))
+    bg_counts = big.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    bg_stats = bg_counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_bg")
+    ).select("doc_id", F.expr("div(1000 * top_c, n_bg)").alias("top_bigram_permille"))
+    return top_unigram.join(bg_stats, "doc_id", "left").select(
+        "doc_id", "top_unigram_permille",
+        F.coalesce("top_bigram_permille", F.lit(0)).alias("top_bigram_permille"),
+    )

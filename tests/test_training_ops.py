@@ -207,3 +207,24 @@ def test_sample_frames_and_resize_contracts(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         multimodal.resize_media(df, 64, 64)  # codec path is an honest stub
+
+
+def test_gopher_quality_and_repetition_on_crafted_docs(spark):
+    good = "the quick brown foxes jumped over those lazy hounds today " * 10
+    short = "tiny text"
+    spam = "buy " * 80  # maximally repetitive single token
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, spam)], "doc_id long, text string"
+    )
+    from crawler_service_spark.operators.textquality import gopher_quality, repetition_metrics
+
+    q = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert q[1]["gopher_pass"] is True
+    assert q[2]["gopher_pass"] is False  # word count below 50
+    assert q[1]["alpha_word_permille"] == 1000
+    assert q[1]["word_count"] == 100
+
+    rep = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert rep[3]["top_unigram_permille"] == 1000  # all one token
+    assert rep[3]["top_bigram_permille"] == 1000
+    assert rep[1]["top_unigram_permille"] <= 100  # each token is 1/10 of text

@@ -77,3 +77,65 @@ def test_incremental_update_across_commits(spark, catalog):
 
     flagged = bloom.flag_maybe_seen(urls_df(spark, SEEN_URLS), upto="bloom-1")
     assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+# --------------------------------------------------------------------------- #
+# cuckoo filter (the deletable seen-set accelerator)
+# --------------------------------------------------------------------------- #
+
+
+def test_cuckoo_no_false_negatives_and_low_fp(spark, catalog):
+    from crawler_service_spark.operators.dedup import CuckooSeenFilter
+
+    ck = CuckooSeenFilter(catalog, n_buckets=8, n_slots=1 << 12)
+    ck.update(urls_df(spark, SEEN_URLS), "ck-1")
+    flagged = ck.flag_maybe_seen(urls_df(spark, SEEN_URLS + NEW_URLS))
+    got = {r["url"]: r["maybe_seen"] for r in flagged.collect()}
+    assert all(got[u] for u in SEEN_URLS), "cuckoo must never produce a false negative"
+    fp = sum(got[u] for u in NEW_URLS) / len(NEW_URLS)
+    assert fp < 0.05, f"false-positive rate {fp:.2%} unexpectedly high"
+
+
+def test_cuckoo_remove_supports_recrawl(spark, catalog):
+    """Deletion — the capability Bloom lacks: removed URLs flag definitely-new
+    again while everything else stays seen (modulo fingerprint collisions,
+    which only flip toward maybe, never toward lost)."""
+    from crawler_service_spark.operators.dedup import CuckooSeenFilter
+
+    ck = CuckooSeenFilter(catalog, n_buckets=8, n_slots=1 << 12)
+    ck.update(urls_df(spark, SEEN_URLS), "ck-1")
+    expired = SEEN_URLS[:40]
+    ck.remove(urls_df(spark, expired), "ck-2", upto="ck-1")
+    got = {
+        r["url"]: r["maybe_seen"]
+        for r in ck.flag_maybe_seen(urls_df(spark, SEEN_URLS), upto="ck-2").collect()
+    }
+    # removed urls may only stay 'maybe' via a fingerprint collision: rare
+    still_flagged = sum(got[u] for u in expired)
+    assert still_flagged <= 2, f"{still_flagged}/40 removed urls still flagged"
+    kept = [u for u in SEEN_URLS[40:]]
+    assert all(got[u] for u in kept), "non-removed urls must remain seen"
+
+
+def test_cuckoo_dedup_integration_equals_exact(spark, catalog):
+    from crawler_service_spark.operators.dedup import CuckooSeenFilter
+
+    ck = CuckooSeenFilter(catalog, n_buckets=8, n_slots=1 << 12)
+    ck.update(urls_df(spark, SEEN_URLS), "ck-1")
+    seen = urls_df(spark, SEEN_URLS)
+    cand = urls_df(spark, SEEN_URLS[:50] + NEW_URLS)
+    got = sorted(
+        r["url"] for r in dedup_new_urls(cand, seen, ck, bloom_upto="ck-1").collect()
+    )
+    assert got == sorted(NEW_URLS)
+
+
+def test_cuckoo_overflow_degrades_safe(spark, catalog):
+    """A deliberately tiny table overflows; the partition degrades to
+    all-maybe — extra exact lookups, never a lost URL."""
+    from crawler_service_spark.operators.dedup import CuckooSeenFilter
+
+    ck = CuckooSeenFilter(catalog, n_buckets=1, n_slots=64)  # 64 slots, 300 urls
+    ck.update(urls_df(spark, SEEN_URLS), "ck-1")
+    flagged = ck.flag_maybe_seen(urls_df(spark, SEEN_URLS))
+    assert all(r["maybe_seen"] for r in flagged.collect())

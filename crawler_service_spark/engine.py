@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from .functions.urls import canonicalize_url_col, host_col, path_col, url_hash_col
 from .operators import politeness
-from .operators.dedup import BloomSeenFilter, dedup_new_urls
+from .operators.dedup import BloomSeenFilter, CuckooSeenFilter, dedup_new_urls
 from .operators.extraction import extract_hrefs, extract_text_col
 from .operators.grouping import emit_extraction_jobs
 from .plans import with_global_seq
@@ -75,6 +75,9 @@ class CrawlConfig:
     global_cap: int | None = None     # optional cap on urls scheduled/iteration
     salt_lanes: int = 8               # host-skew salting for the rank window
     use_bloom: bool = True
+    # probabilistic seen-set accelerator backend: "bloom" (default) or
+    # "cuckoo" (deletable — supports re-crawl/TTL expiry via remove())
+    seen_filter_kind: str = "bloom"
     bloom_buckets: int = 64
     bloom_bits: int = 1 << 17
     # engage the bloom PROBE only once the seen set is worth it; below this the
@@ -138,15 +141,19 @@ class CrawlEngine:
             # front (in production this partitioning pre-exists as Iceberg
             # bucketing — it must not be re-paid inside every iteration)
             self.pages.count()
-        self.bloom = (
-            BloomSeenFilter(
+        if not self.config.use_bloom:
+            self.bloom = None
+        elif self.config.seen_filter_kind == "cuckoo":
+            self.bloom = CuckooSeenFilter(
+                self.catalog, n_buckets=self.config.bloom_buckets,
+                n_slots=self.config.bloom_bits // 16,  # comparable memory/bucket
+            )
+        else:
+            self.bloom = BloomSeenFilter(
                 self.catalog,
                 n_buckets=self.config.bloom_buckets,
                 m_bits=self.config.bloom_bits,
             )
-            if self.config.use_bloom
-            else None
-        )
 
     # ------------------------------------------------------------------ state
     def last_state(self) -> dict | None:

@@ -139,3 +139,29 @@ def test_cuckoo_overflow_degrades_safe(spark, catalog):
     ck.update(urls_df(spark, SEEN_URLS), "ck-1")
     flagged = ck.flag_maybe_seen(urls_df(spark, SEEN_URLS))
     assert all(r["maybe_seen"] for r in flagged.collect())
+
+
+def test_crawl_with_cuckoo_backend_matches_oracle(spark, tiny_fixture, tmp_path):
+    """Full crawl with the cuckoo accelerator engaged from iteration 0
+    produces the identical crawl to the exact/bloom paths."""
+    import sys
+
+    from crawler_service_spark.engine import CrawlConfig, CrawlEngine
+
+    sys.path.insert(0, "/root/repo/tests")
+    from conftest import engine_snapshot
+
+    snaps = []
+    for name, kind in [("bloom", "bloom"), ("cuckoo", "cuckoo")]:
+        eng = CrawlEngine(
+            spark,
+            spark.read.parquet(tiny_fixture["pages"]),
+            spark.read.parquet(tiny_fixture["robots_rules"]),
+            str(tmp_path / name),
+            CrawlConfig(
+                iteration_seconds=60.0, bloom_min_seen=0, seen_filter_kind=kind
+            ),
+        )
+        eng.run(seeds=spark.read.parquet(tiny_fixture["seeds"]))
+        snaps.append(engine_snapshot(eng))
+    assert snaps[0] == snaps[1]

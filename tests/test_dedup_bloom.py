@@ -165,3 +165,62 @@ def test_crawl_with_cuckoo_backend_matches_oracle(spark, tiny_fixture, tmp_path)
         eng.run(seeds=spark.read.parquet(tiny_fixture["seeds"]))
         snaps.append(engine_snapshot(eng))
     assert snaps[0] == snaps[1]
+
+
+def test_cuckoo_blob_model_property():
+    """Model-based check of the blob-level cuckoo ops (pure numpy, no Spark):
+    against a multiset model, after any interleaving of inserts and deletes
+    there is NEVER a false negative, and deletes only remove present items."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawler_service_spark.operators.dedup import (
+        _ck_decode,
+        _ck_encode,
+        _ck_fp_i1_i2,
+        _ck_insert_all,
+    )
+
+    B = 64  # 256 slots
+
+    def hashes(key: int):
+        h1 = np.array([hash(("h1", key)) & 0x7FFFFFFFFFFFFFFF], dtype=np.int64)
+        h2 = np.array([hash(("h2", key)) & 0x7FFFFFFFFFFFFFFF], dtype=np.int64)
+        return _ck_fp_i1_i2(h1, h2, B)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(["add", "del"]), st.integers(0, 40)),
+            min_size=1, max_size=120,
+        )
+    )
+    def run(ops):
+        slots, overflow = _ck_decode(None, B)
+        model: dict[int, int] = {}
+        for op, key in ops:
+            fp, i1, i2 = hashes(key)
+            if op == "add":
+                overflow = _ck_insert_all(slots, fp, i1, i2, B) or overflow
+                model[key] = model.get(key, 0) + 1
+            elif model.get(key, 0) > 0:
+                for bucket in (int(i1[0]), int(i2[0])):
+                    hit = np.flatnonzero(slots[bucket] == fp[0])
+                    if len(hit):
+                        slots[bucket, hit[0]] = 0
+                        break
+                model[key] -= 1
+        # round-trip through encoding
+        slots2, overflow2 = _ck_decode(_ck_encode(slots, overflow), B)
+        assert (slots2 == slots).all() and overflow2 == overflow
+        if not overflow:
+            for key, cnt in model.items():
+                if cnt > 0:
+                    fp, i1, i2 = hashes(key)
+                    present = (slots[int(i1[0])] == fp[0]).any() or (
+                        slots[int(i2[0])] == fp[0]
+                    ).any()
+                    assert present, f"false negative for key {key}"
+
+    run()

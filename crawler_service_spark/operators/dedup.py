@@ -279,7 +279,12 @@ class CuckooSeenFilter:
     # ----------------------------------------------------------------- delete
     def remove(self, urls: DataFrame, commit_id: str, upto: str | None = None) -> None:
         """Delete one fingerprint occurrence per url — the operation Bloom
-        cannot support (re-crawl / TTL expiry)."""
+        cannot support (re-crawl / TTL expiry).
+
+        Standard cuckoo contract: only delete urls that WERE inserted.
+        Fingerprints are multiset copies, so colliding items stay findable as
+        long as inserts and deletes pair up; deleting a never-inserted url is
+        undefined (it may consume a colliding item's copy)."""
         existing = self.catalog.read(self.TABLE, upto=upto)
         if existing is None:
             return

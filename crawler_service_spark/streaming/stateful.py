@@ -34,11 +34,16 @@ STATE_SCHEMA = "taken long"
 def _gate(budget_per_host: int):
     def gate(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         taken = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            if taken >= budget_per_host:
-                continue  # must drain the iterator; budget already spent
-            pdf = pdf.sort_values(["seed_order", "url"])
-            take = pdf.head(budget_per_host - taken)
+        # materialize the group's micro-batch before admitting: a host's rows
+        # can arrive as several Arrow chunks in arbitrary order, and admission
+        # must be by global seed_order within the batch, not per-chunk.
+        # Politeness groups are budget-bounded, so this stays small.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allrows = pd.concat(chunks, ignore_index=True).sort_values(
+                ["seed_order", "url"]
+            )
+            take = allrows.head(max(0, budget_per_host - taken))
             taken += len(take)
             if len(take):
                 yield take[["crawl_id", "url", "seed_order", "host"]]

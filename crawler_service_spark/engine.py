@@ -136,6 +136,12 @@ class CrawlEngine:
         p = int(spark.conf.get("spark.sql.shuffle.partitions"))
         self.pages = pages.repartition(p, "url").persist()
         self.robots = robots.persist()
+        # per-host budgets are iteration-invariant (robots crawl-delay x the
+        # configured window) — build the tiny broadcast side once, not per
+        # iteration
+        self.budgets = politeness.host_budgets(
+            self.robots, self.config.iteration_seconds
+        ).persist()
         if self.config.eager_checkpoints:
             # big-deployment mode: materialize the page store's hash layout up
             # front (in production this partitioning pre-exists as Iceberg
@@ -267,9 +273,8 @@ class CrawlEngine:
         prev_pending = int(st["frontier_pending"])
         prev_tombs = int(st.get("tombstones") or 0)
 
-        budgets = politeness.host_budgets(self.robots, cfg.iteration_seconds)
         scheduled = politeness.schedule(
-            pending, budgets, cfg.iteration_seconds,
+            pending, self.budgets, cfg.iteration_seconds,
             default_delay_s=cfg.default_delay_s,
             global_cap=cfg.global_cap, salt_lanes=cfg.salt_lanes,
         )

@@ -813,11 +813,13 @@ def _minhash_verified_sql() -> str:
 
 
 def _robots_parse_sql() -> str:
-    """DuckDB twin of parse_robots over the same synthetic bodies. Newlines
-    are built with chr(10) (standard SQL strings don't interpret \\n)."""
+    """DuckDB twin of parse_robots over the same synthetic bodies (including
+    the consecutive multi-User-agent '*' group — RFC 9309 group semantics).
+    Newlines are built with chr(10) (standard SQL strings don't interpret \\n)."""
     body = (
         "'# synthetic robots' || chr(10) || 'User-agent: googlebot' || chr(10) || "
         "'Disallow: /only-google' || chr(10) || chr(10) || "
+        "'User-agent: altbot' || chr(10) || "
         "'User-agent: *' || chr(10) || 'Disallow: /private/' || source || chr(10) || "
         "'Allow: /pub' || chr(10) || 'Crawl-delay: ' || CAST(seed % 5 + 1 AS VARCHAR) || chr(10)"
     )
@@ -837,13 +839,26 @@ def _robots_parse_sql() -> str:
                    CASE WHEN instr(l, ':') > 0 THEN trim(substr(l, instr(l, ':') + 1)) ELSE '' END AS val
             FROM lines WHERE lower(trim(split_part(l, ':', 1))) <> ''
         ),
-        sectioned AS (
-            SELECT *, last_value(CASE WHEN key = 'user-agent' THEN val END IGNORE NULLS)
-                        OVER (PARTITION BY host ORDER BY line_no
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ua
+        flagged AS (
+            SELECT *, (key = 'user-agent') AS is_ua,
+                   coalesce(lag(key = 'user-agent')
+                       OVER (PARTITION BY host ORDER BY line_no), false) AS prev_ua
             FROM kv
         ),
-        star AS (SELECT * FROM sectioned WHERE ua = '*'),
+        gids AS (
+            SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+                OVER (PARTITION BY host ORDER BY line_no
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+            FROM flagged
+        ),
+        ag AS (
+            SELECT host, gid, list(val) FILTER (WHERE is_ua) AS agents
+            FROM gids GROUP BY host, gid
+        ),
+        star AS (
+            SELECT g.* FROM gids g JOIN ag USING (host, gid)
+            WHERE list_contains(ag.agents, '*')
+        ),
         with_delay AS (
             SELECT *, coalesce(
                 max(CASE WHEN key = 'crawl-delay' THEN CAST(val AS DOUBLE) END)

@@ -150,9 +150,19 @@ class CrawlEngine:
         if not self.config.use_bloom:
             self.bloom = None
         elif self.config.seen_filter_kind == "cuckoo":
+            # Sizing (ADVICE r2): capacity must at least cover the probe
+            # engagement point (bloom_min_seen), else every partition overflows
+            # to all-maybe before the filter is ever consulted — safe but
+            # strictly slower than no filter. ~1.10 headroom keeps the load
+            # factor under the ~95% 4-way-cuckoo bound; B is rounded UP to a
+            # power of two (the alternate-bucket XOR walk requires it).
+            want_slots = max(
+                self.config.bloom_bits // 16,  # comparable memory/bucket floor
+                int(1.10 * self.config.bloom_min_seen / self.config.bloom_buckets),
+            )
+            B = 1 << max(0, (max(want_slots // 4, 1) - 1).bit_length())
             self.bloom = CuckooSeenFilter(
-                self.catalog, n_buckets=self.config.bloom_buckets,
-                n_slots=self.config.bloom_bits // 16,  # comparable memory/bucket
+                self.catalog, n_buckets=self.config.bloom_buckets, n_slots=4 * B
             )
         else:
             self.bloom = BloomSeenFilter(

@@ -244,6 +244,16 @@ class CuckooSeenFilter:
         self.n_buckets = n_buckets
         self.n_slots = n_slots
         self.B = n_slots // 4
+        # The alternate-bucket map i2 = (i1 ^ fp*C) mod B is an involution of
+        # the (i1, i2) pair ONLY when B is a power of two (mod = low-bit mask,
+        # and i1 < B has only low bits). With any other B a kicked fingerprint
+        # can land in a bucket the 2-way probe never checks — a FALSE NEGATIVE,
+        # which breaks the filter's "false positives only" safety contract.
+        if self.B & (self.B - 1):
+            raise ValueError(
+                f"cuckoo bucket count must be a power of two, got n_slots={n_slots} "
+                f"(B={self.B}); round n_slots to 4*2^k"
+            )
 
     # ------------------------------------------------------------------ build
     def update(self, new_urls: DataFrame, commit_id: str, upto: str | None = None) -> None:

@@ -8,12 +8,14 @@ entirely with JVM built-ins — split + posexplode + a last-ignoring-nulls
 window carries the "current User-agent block" state down the file, so the
 sequential-looking grammar parses as a declarative plan (no UDF).
 
-Grammar subset (the part the scheduler consumes): ``User-agent`` blocks,
+Grammar subset (the part the scheduler consumes): ``User-agent`` groups —
+including RFC 9309 multi-agent groups, where several CONSECUTIVE
+``User-agent`` lines share the rule block that follows them — with
 ``Allow``/``Disallow`` path prefixes, ``Crawl-delay`` seconds, ``#`` comments
-and blank lines; only the ``*`` agent's block is honored. Empty
+and blank lines; only groups listing the ``*`` agent are honored. Empty
 ``Disallow:`` (allow-all idiom) emits an allow-rule for the root prefix.
 
-At scale: one explode + two window passes per robots body, shuffle keyed by
+At scale: one explode + three window passes per robots body, shuffle keyed by
 host (uniform), output is tiny rule rows — the raw text never shuffles twice.
 """
 
@@ -49,17 +51,24 @@ def parse_robots(
         host_col, "line_no", key.alias("key"), val.alias("val")
     ).filter(F.col("key") != "")
 
-    # carry the governing User-agent down the file (robots grammar is
-    # sectional; last non-null above == current section)
-    w = (
-        Window.partitionBy(host_col)
-        .orderBy("line_no")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # RFC 9309 grouping: a run of CONSECUTIVE User-agent lines opens one
+    # group whose following rules apply to EVERY listed agent. A UA line
+    # starts a new group only when the previous parsed line was not also a
+    # UA line; a running sum of those starts numbers the groups, and the
+    # group's agent set is collected over (host, group).
+    w_seq = Window.partitionBy(host_col).orderBy("line_no")
+    w_run = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_ua = F.col("key") == "user-agent"
+    prev_ua = F.coalesce(F.lag(is_ua).over(w_seq), F.lit(False))
+    grouped = parsed.withColumn(
+        "gid", F.sum((is_ua & ~prev_ua).cast("int")).over(w_run)
     )
-    ua = F.last(
-        F.when(F.col("key") == "user-agent", F.col("val")), ignorenulls=True
-    ).over(w)
-    sectioned = parsed.withColumn("ua", ua).filter(F.col("ua") == agent)
+    agents = F.collect_set(F.when(is_ua, F.col("val"))).over(
+        Window.partitionBy(host_col, "gid")
+    )
+    sectioned = grouped.withColumn("agents", agents).filter(
+        F.array_contains(F.col("agents"), agent)
+    )
 
     # host-wide crawl delay from the agent's block (max if repeated)
     wd = Window.partitionBy(host_col)
@@ -90,20 +99,24 @@ def robots_filter_spec(
     Allow wins a length tie. Complements politeness.robots_filter (the
     engine's simpler any-disallow contract used by the crawl oracle).
 
-    Plan: broadcast the tiny rules table, theta-join on prefix match, argmax
-    by (prefix length, allow) per candidate via one aggregation — the
-    candidate side never shuffles beyond the groupBy on its own key.
+    Plan: the verdict is a function of (host, path) alone, so it is decided
+    once per DISTINCT key — broadcast the tiny rules table, theta-join on
+    prefix match, argmax by (prefix length, allow) via one aggregation — and
+    candidates keep their multiplicity through a left-semi join on the
+    allowed keys. Every grouping key is a real column (no
+    monotonically_increasing_id), so task retries / partition recomputation
+    reproduce the identical result.
     """
     r = rules.select(
         F.col("host").alias("r_host"),
         F.col("path_prefix").alias("r_prefix"),
         F.col("allow").alias("r_allow"),
     ).distinct()
-    cand = candidates.withColumn("__cid", F.monotonically_increasing_id())
-    matched = cand.join(
+    keys = candidates.select("host", path_col).distinct()
+    matched = keys.join(
         F.broadcast(r),
-        (cand["host"] == F.col("r_host"))
-        & cand[path_col].startswith(F.col("r_prefix")),
+        (keys["host"] == F.col("r_host"))
+        & keys[path_col].startswith(F.col("r_prefix")),
         "left",
     )
     verdict = F.max(
@@ -112,15 +125,18 @@ def robots_filter_spec(
             F.coalesce(F.col("r_allow"), F.lit(True)).alias("a"),
         )
     )
-    decided = matched.groupBy("__cid", *candidates.columns).agg(verdict.alias("v"))
-    return decided.filter(F.col("v.a")).select(*candidates.columns)
+    decided = matched.groupBy("host", path_col).agg(verdict.alias("v"))
+    allowed = decided.filter(F.col("v.a")).select("host", path_col)
+    return candidates.join(allowed, on=["host", path_col], how="left_semi")
 
 
 def robots_txt_col(disallow: Column, delay: Column) -> Column:
-    """Deterministic robots.txt body builder (fixtures/tests/oracle twins)."""
+    """Deterministic robots.txt body builder (fixtures/tests/oracle twins).
+    The ``*`` group is a multi-agent group (consecutive User-agent lines,
+    RFC 9309) so the group parser's agent-set semantics are exercised."""
     return F.concat(
         F.lit("# synthetic robots\nUser-agent: googlebot\nDisallow: /only-google\n\n"),
-        F.lit("User-agent: *\nDisallow: "),
+        F.lit("User-agent: altbot\nUser-agent: *\nDisallow: "),
         disallow,
         F.lit("\nAllow: /pub\nCrawl-delay: "),
         delay.cast("string"),

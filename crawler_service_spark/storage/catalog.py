@@ -213,3 +213,7 @@ class ManifestCatalog:
 
     def drop(self, table: str) -> None:
         shutil.rmtree(self._table_dir(table), ignore_errors=True)
+        # a recreate may use a different schema — never force the stale one
+        self._schemas.pop(table, None)
+        with self._locks_guard:
+            self._locks.pop(table, None)

@@ -166,3 +166,21 @@ def test_parse_robots_sections_comments_and_filter_integration(spark):
     assert kept_spec == [
         ("a.com", "/ok"), ("a.com", "/private/pub/y"), ("b.com", "/anything")
     ]
+    # duplicate candidate rows keep their multiplicity through the semi-join
+    dup = cand.union(cand.filter("path = '/ok'"))
+    assert robots_filter_spec(dup, rules).filter("path = '/ok'").count() == 2
+
+
+def test_parse_robots_multi_agent_group(spark):
+    """RFC 9309: consecutive User-agent lines share ONE rule group — '*'
+    listed first (before another agent) must still receive the group's rules
+    (ADVICE r2: the old last-UA-wins parser dropped them)."""
+    from crawler_service_spark.operators.robots import parse_robots
+
+    body = (
+        "User-agent: *\nUser-agent: foo\nDisallow: /x\n\n"
+        "User-agent: bar\nDisallow: /bar-only\n"
+    )
+    df = spark.createDataFrame([("c.com", body)], "host string, robots_txt string")
+    got = {(r["host"], r["path_prefix"]): r["allow"] for r in parse_robots(df).collect()}
+    assert got == {("c.com", "/x"): False}

@@ -45,7 +45,12 @@ from pyspark.sql import functions as F
 
 from .functions.urls import canonicalize_url_col, host_col, path_col, url_hash_col
 from .operators import politeness
-from .operators.dedup import BloomSeenFilter, CuckooSeenFilter, dedup_new_urls
+from .operators.dedup import (
+    BloomSeenFilter,
+    CuckooSeenFilter,
+    anti_join_by_hash,
+    dedup_new_urls,
+)
 from .operators.extraction import extract_hrefs, extract_text_col
 from .operators.grouping import emit_extraction_jobs
 from .plans import with_global_seq
@@ -234,7 +239,9 @@ class CrawlEngine:
         tombs = self.catalog.read("frontier_tombstones", upto=f"tomb-iter-{upto_iter}")
         if tombs is None:
             return pending
-        return pending.join(tombs.select("url"), on="url", how="left_anti")
+        # int64-keyed anti-join (url equality residual): the per-iteration
+        # pending reconstruction never shuffles/sorts frontier-scale strings
+        return anti_join_by_hash(pending, tombs)
 
     @staticmethod
     def _crawl_id(df: DataFrame) -> str:
@@ -393,7 +400,7 @@ class CrawlEngine:
         # pending set and reset tombstones in the same commit slot.
         compact = prev_tombs >= cfg.frontier_compact_ratio * max(prev_pending, 1)
         compacted_pending = (
-            pending.join(fetched.select("url"), on="url", how="left_anti")
+            anti_join_by_hash(pending, fetched.select("url_hash", "url"))
             .select(*FRONTIER_COLS)
             .unionByName(new_frontier.select(*FRONTIER_COLS))
             if compact
@@ -484,12 +491,13 @@ class CrawlEngine:
                 # repartition(1): an empty 0-partition write would emit no
                 # parquet footer and break schema inference on read
                 self.catalog.commit(
-                    "frontier_tombstones", self._empty("url string").repartition(1),
+                    "frontier_tombstones",
+                    self._empty("url_hash bigint, url string").repartition(1),
                     f"tomb-{it}", mode="overwrite",
                 )
             else:
                 self.catalog.commit(
-                    "frontier_tombstones", fetched.select("url"),
+                    "frontier_tombstones", fetched.select("url_hash", "url"),
                     f"tomb-{it}", coalesce=cfg.commit_files,
                 )
 
@@ -544,6 +552,110 @@ class CrawlEngine:
             "new_urls": n_new, "pending": n_pending, "status": status,
             "wall_ms": wall_ms,
         }
+
+    # ------------------------------------------------------------------ expire
+    def expire(self, urls: DataFrame, mode: str = "recrawl") -> dict:
+        """Re-crawl / TTL API over the seen set. Call only on a QUIESCED
+        crawl (between runs); the operation commits as pseudo-iteration k+1 so
+        every snapshot anchor stays consistent and ``resume()`` just works.
+
+        - ``mode="recrawl"``: expired urls re-enter the frontier with fresh
+          seqs (scheduled exactly once on resume). The seen set keeps their
+          rows, so links to them keep deduping — no double-crawl.
+        - ``mode="forget"``: expired urls are deleted from the seen table
+          (hash-keyed anti-join rewrite) and their fingerprints removed from
+          the cuckoo filter — the deletable backend's reason to exist; the
+          bloom backend cannot delete, so its stale bits just cost extra
+          exact lookups (safe direction). The url is re-crawled when some
+          future page links to it, admitted exactly once by the standard
+          dedup invariant.
+
+        Unknown urls (never seen) are ignored. Returns counters.
+        """
+        assert mode in ("recrawl", "forget")
+        st = self.last_state()
+        assert st is not None, "expire() requires a seeded crawl"
+        k = int(st["iteration"]) + 1
+        it = f"iter-{k}"
+        prev = f"iter-{k - 1}"
+        next_seq = int(st["next_seq"])
+        prev_pending = int(st["frontier_pending"])
+        seen = self.catalog.read("seen", upto=f"seen-{prev}")
+        ex = (
+            urls.select(canonicalize_url_col("url").alias("url"))
+            .dropDuplicates(["url"])
+            .withColumn("url_hash", url_hash_col("url"))
+        )
+        # only urls actually seen can expire; carry their depth for re-entry
+        ex = ex.join(
+            seen.groupBy("url_hash", "url").agg(F.min("depth").alias("depth")),
+            on=["url_hash", "url"],
+            how="inner",
+        ).localCheckpoint(eager=False)
+        n_ex = ex.count()  # admin API: one small driver count is fine
+
+        if mode == "recrawl":
+            re_rows = ex.select(
+                F.lit(str(st["crawl_id"])).alias("crawl_id"),
+                "url", "url_hash",
+                host_col("url").alias("host"), path_col("url").alias("path"),
+                "depth", F.lit(0).alias("priority"),
+            )
+            re_rows = with_global_seq(
+                re_rows, [F.col("url").asc()], seq_col="seq", start=next_seq
+            ).withColumn("discovered_iter", F.lit(k))
+            n_exp = n_ex
+            self.catalog.commit(
+                "frontier_pending", re_rows.select(*FRONTIER_COLS), f"pending-{it}"
+            )
+            self.catalog.commit(
+                "seen", self._empty(
+                    "url_hash bigint, url string, host string, depth int, "
+                    "seq bigint, discovered_iter int"
+                ).repartition(1),
+                f"seen-{it}",
+            )
+            if self.bloom:
+                self.bloom.update(ex.select("url").limit(0), f"bloom-{it}", upto=f"bloom-{prev}")
+        else:  # forget
+            kept = anti_join_by_hash(seen, ex.select("url_hash", "url"))
+            self.catalog.commit("seen", kept, f"seen-{it}", mode="overwrite")
+            n_exp = 0  # forget adds nothing to pending
+            if isinstance(self.bloom, CuckooSeenFilter):
+                self.bloom.remove(ex.select("url"), f"bloom-{it}", upto=f"bloom-{prev}")
+            elif self.bloom:
+                # bloom cannot delete; keep the commit chain anchored
+                self.bloom.update(ex.select("url").limit(0), f"bloom-{it}", upto=f"bloom-{prev}")
+        if mode == "forget":
+            self.catalog.commit(
+                "frontier_pending",
+                self._empty(", ".join(
+                    f"{c} {'bigint' if c in ('url_hash', 'seq') else 'int' if c in ('depth', 'priority', 'discovered_iter') else 'string'}"
+                    for c in FRONTIER_COLS
+                )).repartition(1),
+                f"pending-{it}",
+            )
+        self.catalog.commit(
+            "frontier_tombstones",
+            self._empty("url_hash bigint, url string").repartition(1),
+            f"tomb-{it}",
+        )
+        n_pending = prev_pending + n_exp
+        self.catalog.commit_rows(
+            "crawl_state",
+            [dict(
+                crawl_id=str(st["crawl_id"]), iteration=k,
+                status="running" if n_pending > 0 else str(st["status"]),
+                scheduled=0, fetched=0, failed=0, new_urls=0,
+                frontier_pending=n_pending,
+                tombstones=int(st.get("tombstones") or 0),
+                next_seq=next_seq + n_exp, families=int(st["families"]),
+                bytes_crawled=0, wall_ms=0,
+            )],
+            STATE_SCHEMA,
+            f"state-{it}",
+        )
+        return {"iteration": k, "mode": mode, "expired": n_ex, "pending": n_pending}
 
     # -------------------------------------------------------------------- run
     def run(self, seeds: DataFrame | None = None, max_iterations: int | None = None) -> list[dict]:

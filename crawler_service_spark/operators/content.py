@@ -35,8 +35,10 @@ from pyspark.sql import types as T
 # (hex prefix of the first bytes, mime) — order matters: first match wins
 MAGIC_MIMES: list[tuple[str, str]] = [
     ("1F8B", "application/gzip"),
+    ("1F9D", "application/x-compress"),  # legacy .Z (LZW)
     ("504B0304", "application/zip"),
     ("377ABCAF271C", "application/x-7z-compressed"),
+    ("FD377A585A00", "application/x-xz"),
     ("425A68", "application/x-bzip2"),
     ("89504E470D0A1A0A", "image/png"),
     ("47494638", "image/gif"),
@@ -80,13 +82,52 @@ EXPANDED_SCHEMA = T.StructType(
 )
 
 
+# magic prefixes the expander recognizes but CANNOT decode with stdlib codecs:
+# 7z needs py7zr, .Z (LZW compress) needs the gzip CLI the reference shells out
+# to (legacy/decompressor.py:13-75). These route to the dead-letter table with
+# reason 'unsupported_archive' instead of silently yielding no members.
+_UNSUPPORTED_PREFIXES = [b"7z\xbc\xaf\x27\x1c", b"\x1f\x9d"]
+
+
+def unsupported_archive_col(payload: Column | str) -> Column:
+    """JVM-side predicate: payload is an archive format the expander cannot
+    decode (7z / legacy .Z). Callers dead-letter these rows."""
+    p = F.col(payload) if isinstance(payload, str) else payload
+    hx = F.hex(F.substring(p, 1, 6))
+    return hx.startswith("377ABCAF271C") | hx.startswith("1F9D")
+
+
+def _single(url: str, data: bytes, ext: str) -> list[tuple[str, bytes]]:
+    """Single-stream codecs (gzip/bz2/xz on a non-tar payload) expand to one
+    pseudo-member named after the url basename minus the codec extension."""
+    base = url.rsplit("/", 1)[-1]
+    name = base[: -len(ext)] if base.endswith(ext) else base + ".out"
+    return [(name, data)]
+
+
 def _members(url: str, payload: bytes) -> list[tuple[str, bytes]]:
     """Decode one archive payload into (member_name, member_bytes) pairs.
-    Mirrors legacy/decompressor.py:13-75 (unzip/untar/gunzip by signature).
-    Non-archives and corrupt payloads yield no members (dead-letter upstream)."""
+    Mirrors legacy/decompressor.py:13-75 (unzip/untar/gunzip by signature),
+    plus the stdlib-codec formats bz2 and xz. Corrupt payloads and
+    non-archives yield no members; formats stdlib cannot decode are
+    dead-lettered upstream via ``unsupported_archive_col``."""
+    import bz2
     import gzip
+    import lzma
     import tarfile
     import zipfile
+
+    def tar_or_single(mode: str, decompress, ext: str):
+        # tar.<codec> expands to members; a bare stream is one pseudo-member
+        try:
+            with tarfile.open(fileobj=io.BytesIO(payload), mode=mode) as tf:
+                return [
+                    (m.name, tf.extractfile(m).read())
+                    for m in tf.getmembers()
+                    if m.isfile()
+                ]
+        except tarfile.TarError:
+            return _single(url, decompress(payload), ext)
 
     try:
         if payload[:4] == b"PK\x03\x04":
@@ -94,18 +135,11 @@ def _members(url: str, payload: bytes) -> list[tuple[str, bytes]]:
             with zipfile.ZipFile(io.BytesIO(payload)) as zf:
                 return [(n, zf.read(n)) for n in zf.namelist() if not n.endswith("/")]
         if payload[:2] == b"\x1f\x8b":
-            # tar.gz expands to members; plain gzip is a single pseudo-member
-            try:
-                with tarfile.open(fileobj=io.BytesIO(payload), mode="r:gz") as tf:
-                    return [
-                        (m.name, tf.extractfile(m).read())
-                        for m in tf.getmembers()
-                        if m.isfile()
-                    ]
-            except tarfile.TarError:
-                base = url.rsplit("/", 1)[-1]
-                name = base[:-3] if base.endswith(".gz") else base + ".out"
-                return [(name, gzip.decompress(payload))]
+            return tar_or_single("r:gz", gzip.decompress, ".gz")
+        if payload[:3] == b"BZh":
+            return tar_or_single("r:bz2", bz2.decompress, ".bz2")
+        if payload[:6] == b"\xfd7zXZ\x00":
+            return tar_or_single("r:xz", lzma.decompress, ".xz")
     except (OSError, ValueError, EOFError, zipfile.BadZipFile, tarfile.TarError):
         return []
     return []
@@ -130,6 +164,19 @@ def expand_archives(
     from ..plans.partitioning import widen
 
     return widen(cols).mapInPandas(run, schema=EXPANDED_SCHEMA)
+
+
+def archive_dead_letters(
+    archives: DataFrame, url_col: str = "url", payload_col: str = "payload"
+) -> DataFrame:
+    """(url, reason) rows for archive payloads the expander cannot decode
+    (7z / legacy .Z — reference handles .Z by shelling out to ``gzip -dk``,
+    legacy/decompressor.py:13-75, which a UDF must not do). Callers append
+    these to ``fetch_failures`` with their crawl_id/iteration columns."""
+    return archives.filter(unsupported_archive_col(payload_col)).select(
+        F.col(url_col).alias("url"),
+        F.lit("unsupported_archive").alias("reason"),
+    )
 
 
 def archive_children_as_candidates(expanded: DataFrame, crawl_id_col: Column | None = None) -> DataFrame:

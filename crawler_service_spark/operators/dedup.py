@@ -23,6 +23,17 @@ cannot live in one memory image, so:
   and ``remove()`` for re-crawl/TTL expiry of seen URLs, which Bloom cannot
   express. Both plug into ``dedup_new_urls`` interchangeably.
 
+**Filter storage is LSM-shaped** (mirroring the frontier's append/tombstone/
+compact design): an ``update``/``remove`` appends one tiny *delta* row per
+touched bucket — the packed int64 hash pairs of just that batch, ~16 bytes per
+URL — instead of rewriting the merged blobs, so per-iteration filter-commit
+bytes scale with the BATCH, never the filter (a 12 GB 10^10-key filter is not
+rewritten per iteration). Readers fold a bucket's chain (base blob, if any,
+plus deltas in ``ver`` order) inside the probe UDF. Every ``compact_every``
+delta commits, the chain is folded into fresh base blobs in one overwrite
+commit, bounding read amplification; snapshot reads (``upto=``) replay the
+pre-compaction chain untouched, so time travel and resume are unaffected.
+
 All bloom hash material is computed JVM-side (two independent xxhash64 streams);
 Python only touches int64 numpy arrays inside Arrow-batched grouped UDFs
 (Kirsch-Mitzenmacher double hashing: pos_i = h1 + i*h2 mod m).
@@ -56,8 +67,175 @@ def with_bloom_hashes(df: DataFrame, url_col: str = "url", n_buckets: int = 64) 
     )
 
 
-class BloomSeenFilter:
-    """Partitioned bloom over the URL-seen set, persisted in the catalog."""
+# --------------------------------------------------------------------------- #
+# LSM delta-chain storage shared by both filter backends
+# --------------------------------------------------------------------------- #
+
+BLOB_SCHEMA = "bucket int, ver long, kind string, payload binary"
+_BASE, _ADD, _DEL = "base", "add", "del"
+
+
+def _pack_hashes(h1: np.ndarray, h2: np.ndarray) -> bytes:
+    """Delta payload: the batch's (h1, h2) pairs as little-endian int64s,
+    sorted so the blob is independent of Arrow batch arrival order (keeps
+    cuckoo slot layouts deterministic across re-runs)."""
+    order = np.lexsort((h2, h1))
+    return np.ascontiguousarray(
+        np.concatenate([h1[order], h2[order]]).astype("<i8")
+    ).tobytes()
+
+
+def _unpack_hashes(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    arr = np.frombuffer(payload, dtype="<i8")
+    n = len(arr) // 2
+    return arr[:n], arr[n:]
+
+
+def _chain_rows(chain_pdf: pd.DataFrame):
+    """A bucket's chain in ver order: (kind, payload) tuples."""
+    if not len(chain_pdf):
+        return []
+    idx = np.argsort(chain_pdf["ver"].to_numpy(), kind="stable")
+    kinds = chain_pdf["kind"].to_numpy()
+    payloads = chain_pdf["payload"].to_numpy()
+    return [(kinds[i], bytes(payloads[i])) for i in idx]
+
+
+class _DeltaFilterBase:
+    """Catalog plumbing shared by the bloom/cuckoo backends: idempotent
+    delta appends, compaction cadence, chain reads."""
+
+    TABLE: str = ""
+
+    def __init__(self, catalog: ManifestCatalog, n_buckets: int, compact_every: int):
+        self.catalog = catalog
+        self.n_buckets = n_buckets
+        self.compact_every = compact_every
+
+    def _ver_and_compact(self) -> tuple[int, bool]:
+        """Next row version (= manifest count, deterministic under resume:
+        the pre-commit chain state reproduces it) and whether this commit
+        should fold the chain instead of appending another delta."""
+        log = self.catalog.commit_modes(self.TABLE)
+        appends = 0
+        for _, mode in reversed(log):
+            if mode == "overwrite":
+                break
+            appends += 1
+        return len(log), appends >= self.compact_every
+
+    def _hashed(self, urls: DataFrame) -> DataFrame:
+        return with_bloom_hashes(urls, n_buckets=self.n_buckets).select(
+            "__h1", "__h2", "__bucket"
+        )
+
+    def _fold_blob_fn(self):
+        """fold(ops) -> base-blob BYTES; backends whose fold state is not raw
+        bytes override this to add the encode step."""
+        return self._fold_fn()
+
+    def _chain(self, spark, upto: str | None) -> DataFrame:
+        chain = self.catalog.read(self.TABLE, upto=upto)
+        if chain is None:
+            chain = spark.createDataFrame([], BLOB_SCHEMA)
+        return chain
+
+    def _commit_ops(
+        self, urls: DataFrame, commit_id: str, kind: str, upto: str | None
+    ) -> None:
+        """Append one packed delta row per touched bucket; every
+        ``compact_every`` deltas, fold the whole chain (plus this batch) into
+        fresh base blobs in a single overwrite commit."""
+        if self.catalog.has_commit(self.TABLE, commit_id):
+            return  # idempotent re-run
+        ver, compact = self._ver_and_compact()
+        hashed = self._hashed(urls)
+        if not compact:
+            def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {
+                        "bucket": [int(key[0])], "ver": [ver], "kind": [kind],
+                        "payload": [
+                            _pack_hashes(pdf["__h1"].to_numpy(), pdf["__h2"].to_numpy())
+                        ],
+                    }
+                )
+
+            deltas = hashed.groupBy("__bucket").applyInPandas(pack, schema=BLOB_SCHEMA)
+            # coalesce=1: delta commits are <= n_buckets tiny rows, and a
+            # single-partition write guarantees a parquet footer even when the
+            # batch is empty (schema inference on cold-session reads)
+            self.catalog.commit(self.TABLE, deltas, commit_id, coalesce=1)
+            return
+        chain = self._chain(urls.sparkSession, upto)
+        # plain closure over scalar config — a bound method would drag self
+        # (catalog -> SparkSession) into the UDF pickle
+        fold = self._fold_blob_fn()
+
+        def merge(key, urls_pdf: pd.DataFrame, chain_pdf: pd.DataFrame):
+            ops = _chain_rows(chain_pdf)
+            if len(urls_pdf):
+                ops = ops + [
+                    (kind, _pack_hashes(
+                        urls_pdf["__h1"].to_numpy(), urls_pdf["__h2"].to_numpy()
+                    ))
+                ]
+            return pd.DataFrame(
+                {
+                    "bucket": [int(key[0])], "ver": [ver], "kind": [_BASE],
+                    "payload": [fold(ops)],
+                }
+            )
+
+        merged = (
+            hashed.groupBy("__bucket")
+            .cogroup(chain.groupBy("bucket"))
+            .applyInPandas(merge, schema=BLOB_SCHEMA)
+        )
+        self.catalog.commit(self.TABLE, merged, commit_id, mode="overwrite", coalesce=1)
+
+    def _probe_flags(self, candidates: DataFrame, upto: str | None) -> DataFrame:
+        """Shared probe: fold each bucket's chain inside the cogrouped UDF,
+        then vectorized membership -> ``maybe_seen``."""
+        chain = self.catalog.read(self.TABLE, upto=upto)
+        if chain is None:
+            return candidates.withColumn("maybe_seen", F.lit(False))
+        from pyspark.sql import types as T
+
+        hashed = with_bloom_hashes(candidates, n_buckets=self.n_buckets)
+        # fresh StructType — StructType.add() mutates the cached schema in place
+        out_schema = T.StructType(
+            [f for f in hashed.schema.fields if f.name != "__bucket"]
+            + [T.StructField("maybe_seen", T.BooleanType(), False)]
+        )
+        fold, member = self._fold_fn(), self._member_fn()
+
+        def probe(key, cand_pdf: pd.DataFrame, chain_pdf: pd.DataFrame):
+            if not len(cand_pdf):
+                return cand_pdf.drop(columns=["__bucket"]).assign(maybe_seen=True)
+            out = cand_pdf.drop(columns=["__bucket"])
+            ops = _chain_rows(chain_pdf)
+            if not ops:
+                out["maybe_seen"] = False
+                return out
+            state = fold(ops)
+            out["maybe_seen"] = member(
+                state, cand_pdf["__h1"].to_numpy(), cand_pdf["__h2"].to_numpy()
+            )
+            return out
+
+        flagged = (
+            hashed.groupBy("__bucket")
+            .cogroup(chain.groupBy("bucket"))
+            .applyInPandas(probe, schema=out_schema)
+        )
+        return flagged.drop("__h1", "__h2")
+
+
+class BloomSeenFilter(_DeltaFilterBase):
+    """Partitioned bloom over the URL-seen set, persisted in the catalog as a
+    delta chain (see module docstring): base blob = the m-bit array, deltas =
+    packed hash pairs OR-ed in at fold time (order-independent)."""
 
     TABLE = "seen_filters"
 
@@ -67,81 +245,53 @@ class BloomSeenFilter:
         n_buckets: int = 64,
         m_bits: int = 1 << 17,
         k_hashes: int = 7,
+        compact_every: int = 16,
     ):
-        self.catalog = catalog
-        self.n_buckets = n_buckets
+        super().__init__(catalog, n_buckets, compact_every)
         self.m_bits = m_bits
         self.k = k_hashes
 
+    def _fold_fn(self):
+        m, k = self.m_bits, self.k
+
+        def fold(ops: list[tuple[str, bytes]]) -> bytes:
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            for kind, payload in ops:
+                if kind == _BASE:
+                    bits = np.frombuffer(payload, dtype=np.uint8).copy()
+                else:  # _ADD; bloom has no deletes
+                    h1, h2 = _unpack_hashes(payload)
+                    if len(h1):
+                        pos = _positions(h1, h2, k, m).ravel()
+                        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+            return bits.tobytes()
+
+        return fold
+
+    def _member_fn(self):
+        m, k = self.m_bits, self.k
+
+        def member(state: bytes, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+            bits = np.frombuffer(state, dtype=np.uint8)
+            pos = _positions(h1, h2, k, m)
+            hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+            return hit.all(axis=1)
+
+        return member
+
     # ------------------------------------------------------------------ build
     def update(self, new_urls: DataFrame, commit_id: str, upto: str | None = None) -> None:
-        """OR the new urls' bits into each bucket's blob (grouped Arrow UDF per
-        bucket; cogrouped with the existing blobs so each bucket is touched
-        exactly once)."""
-        m, k = self.m_bits, self.k
-        nb = self.n_buckets
-        hashed = with_bloom_hashes(new_urls, n_buckets=nb).select("__h1", "__h2", "__bucket")
-        existing = self.catalog.read(self.TABLE, upto=upto)
-        if existing is None:
-            existing = new_urls.sparkSession.createDataFrame([], "bucket int, bits binary")
-
-        def merge(key, urls_pdf: pd.DataFrame, blob_pdf: pd.DataFrame):
-            bits = (
-                np.frombuffer(blob_pdf["bits"].iloc[0], dtype=np.uint8).copy()
-                if len(blob_pdf)
-                else np.zeros(m // 8, dtype=np.uint8)
-            )
-            if len(urls_pdf):
-                pos = _positions(
-                    urls_pdf["__h1"].to_numpy(), urls_pdf["__h2"].to_numpy(), k, m
-                ).ravel()
-                np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
-            return pd.DataFrame({"bucket": [int(key[0])], "bits": [bits.tobytes()]})
-
-        merged = (
-            hashed.groupBy("__bucket")
-            .cogroup(existing.groupBy("bucket"))
-            .applyInPandas(merge, schema="bucket int, bits binary")
-        )
-        self.catalog.commit(self.TABLE, merged, commit_id, mode="overwrite")
+        """Append this batch's packed hashes as one delta row per touched
+        bucket (bytes ∝ batch); every ``compact_every`` deltas the chain is
+        folded into base blobs in a single overwrite commit."""
+        self._commit_ops(new_urls, commit_id, _ADD, upto)
 
     # ------------------------------------------------------------------ probe
     def flag_maybe_seen(self, candidates: DataFrame, upto: str | None = None) -> DataFrame:
         """Add boolean ``maybe_seen``: False = definitely never seen (bloom
         miss), True = needs the exact anti-join. Cogrouped by bucket so the
-        blob is deserialized once per bucket, not once per row."""
-        blobs = self.catalog.read(self.TABLE, upto=upto)
-        if blobs is None:
-            return candidates.withColumn("maybe_seen", F.lit(False))
-        from pyspark.sql import types as T
-
-        m, k = self.m_bits, self.k
-        hashed = with_bloom_hashes(candidates, n_buckets=self.n_buckets)
-        # fresh StructType — StructType.add() mutates the cached schema in place
-        out_schema = T.StructType(
-            [f for f in hashed.schema.fields if f.name != "__bucket"]
-            + [T.StructField("maybe_seen", T.BooleanType(), False)]
-        )
-
-        def probe(key, cand_pdf: pd.DataFrame, blob_pdf: pd.DataFrame):
-            if not len(cand_pdf):
-                return cand_pdf.drop(columns=["__bucket"]).assign(maybe_seen=True)
-            out = cand_pdf.drop(columns=["__bucket"])
-            if not len(blob_pdf):
-                out["maybe_seen"] = False
-                return out
-            bits = np.frombuffer(blob_pdf["bits"].iloc[0], dtype=np.uint8)
-            pos = _positions(cand_pdf["__h1"].to_numpy(), cand_pdf["__h2"].to_numpy(), k, m)
-            hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
-            out["maybe_seen"] = hit.all(axis=1)
-            return out
-
-        flagged = (
-            hashed.groupBy("__bucket")
-            .cogroup(blobs.groupBy("bucket"))
-            .applyInPandas(probe, schema=out_schema)
-        )
-        return flagged.drop("__h1", "__h2")
+        chain is folded once per bucket, not once per row."""
+        return self._probe_flags(candidates, upto)
 
 
 def _ck_fp_i1_i2(h1: np.ndarray, h2: np.ndarray, B: int):
@@ -212,22 +362,23 @@ def _ck_insert_all(slots: np.ndarray, fp, i1, i2, B: int, kicks: int = 500) -> b
     return overflow
 
 
-class CuckooSeenFilter:
+class CuckooSeenFilter(_DeltaFilterBase):
     """Partitioned cuckoo filter over the URL-seen set — the deletable
     alternative to BloomSeenFilter (north-star: "Bloom/cuckoo-filter URL-seen
-    set"). Same storage pattern: one blob per ``pmod(h1, n_buckets)``
-    partition, committed through the catalog, cogrouped Arrow UDFs for
-    build/probe — plus ``remove()``, which Bloom cannot do (re-crawl/TTL
-    expiry of seen URLs).
+    set"). Same delta-chain storage pattern (module docstring), with the
+    extra ``del`` delta kind backing ``remove()``, which Bloom cannot do
+    (re-crawl/TTL expiry of seen URLs).
 
-    Layout per blob: uint16 array of shape (n_slots/4, 4) — 4-way buckets of
-    16-bit fingerprints (0 = empty) + a 1-byte overflow flag. Partial-key
-    cuckoo: fp = h2-derived nonzero 16-bit; i1 = h1 mod B;
+    Layout per base blob: uint16 array of shape (n_slots/4, 4) — 4-way
+    buckets of 16-bit fingerprints (0 = empty) + a 1-byte overflow flag.
+    Partial-key cuckoo: fp = h2-derived nonzero 16-bit; i1 = h1 mod B;
     i2 = i1 XOR (fp * 0x5bd1e995) mod B. Inserts are two vectorized
     first-fit passes (numpy per-bucket slot assignment) with a bounded
     eviction walk only for the residue; if a walk exhausts, the overflow
     flag degrades that PARTITION to all-maybe — the safe direction (extra
-    exact lookups, never a lost URL).
+    exact lookups, never a lost URL). Delta folding replays add/del batches
+    in ``ver`` order with sorted in-batch order, so the slot layout is
+    deterministic across re-runs.
     """
 
     TABLE = "seen_cuckoo"
@@ -238,10 +389,10 @@ class CuckooSeenFilter:
         catalog: ManifestCatalog,
         n_buckets: int = 64,
         n_slots: int = 1 << 14,   # slots per partition blob (multiple of 4)
+        compact_every: int = 16,
     ):
         assert n_slots % 4 == 0
-        self.catalog = catalog
-        self.n_buckets = n_buckets
+        super().__init__(catalog, n_buckets, compact_every)
         self.n_slots = n_slots
         self.B = n_slots // 4
         # The alternate-bucket map i2 = (i1 ^ fp*C) mod B is an involution of
@@ -255,36 +406,60 @@ class CuckooSeenFilter:
                 f"(B={self.B}); round n_slots to 4*2^k"
             )
 
-    # ------------------------------------------------------------------ build
-    def update(self, new_urls: DataFrame, commit_id: str, upto: str | None = None) -> None:
-        existing = self.catalog.read(self.TABLE, upto=upto)
-        if existing is None:
-            existing = new_urls.sparkSession.createDataFrame([], "bucket int, bits binary")
-        hashed = with_bloom_hashes(new_urls, n_buckets=self.n_buckets).select(
-            "__h1", "__h2", "__bucket"
-        )
-
+    def _fold_fn(self):
         B, kicks = self.B, self._KICKS
 
-        def merge(key, urls_pdf: pd.DataFrame, blob_pdf: pd.DataFrame):
-            slots, overflow = _ck_decode(
-                bytes(blob_pdf["bits"].iloc[0]) if len(blob_pdf) else None, B
-            )
-            if len(urls_pdf):
-                fp, i1, i2 = _ck_fp_i1_i2(
-                    urls_pdf["__h1"].to_numpy(), urls_pdf["__h2"].to_numpy(), B
-                )
-                overflow = _ck_insert_all(slots, fp, i1, i2, B, kicks) or overflow
-            return pd.DataFrame(
-                {"bucket": [int(key[0])], "bits": [_ck_encode(slots, overflow)]}
-            )
+        def fold(ops: list[tuple[str, bytes]]):
+            slots, overflow = _ck_decode(None, B)
+            for kind, payload in ops:
+                if kind == _BASE:
+                    slots, overflow = _ck_decode(payload, B)
+                    continue
+                h1, h2 = _unpack_hashes(payload)
+                if not len(h1):
+                    continue
+                fp, i1, i2 = _ck_fp_i1_i2(h1, h2, B)
+                if kind == _ADD:
+                    overflow = _ck_insert_all(slots, fp, i1, i2, B, kicks) or overflow
+                else:  # _DEL: one fingerprint occurrence per url
+                    for f, a, b in zip(fp, i1, i2):
+                        for bucket in (int(a), int(b)):
+                            hit = np.flatnonzero(slots[bucket] == f)
+                            if len(hit):
+                                slots[bucket, hit[0]] = 0
+                                break
+            return slots, overflow
 
-        merged = (
-            hashed.groupBy("__bucket")
-            .cogroup(existing.groupBy("bucket"))
-            .applyInPandas(merge, schema="bucket int, bits binary")
-        )
-        self.catalog.commit(self.TABLE, merged, commit_id, mode="overwrite")
+        return fold
+
+    def _member_fn(self):
+        B = self.B
+
+        def member(state, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+            slots, overflow = state
+            if overflow:
+                # degraded partition: safe direction (all-maybe)
+                return np.ones(len(h1), dtype=bool)
+            fp, i1, i2 = _ck_fp_i1_i2(h1, h2, B)
+            return (slots[i1] == fp[:, None]).any(axis=1) | (
+                slots[i2] == fp[:, None]
+            ).any(axis=1)
+
+        return member
+
+    def _fold_blob_fn(self):
+        # fold() returns (slots, overflow); base blobs persist via _ck_encode
+        fold = self._fold_fn()
+
+        def fold_blob(ops) -> bytes:
+            slots, overflow = fold(ops)
+            return _ck_encode(slots, overflow)
+
+        return fold_blob
+
+    # ------------------------------------------------------------------ build
+    def update(self, new_urls: DataFrame, commit_id: str, upto: str | None = None) -> None:
+        self._commit_ops(new_urls, commit_id, _ADD, upto)
 
     # ----------------------------------------------------------------- delete
     def remove(self, urls: DataFrame, commit_id: str, upto: str | None = None) -> None:
@@ -295,96 +470,47 @@ class CuckooSeenFilter:
         Fingerprints are multiset copies, so colliding items stay findable as
         long as inserts and deletes pair up; deleting a never-inserted url is
         undefined (it may consume a colliding item's copy)."""
-        existing = self.catalog.read(self.TABLE, upto=upto)
-        if existing is None:
-            return
-        hashed = with_bloom_hashes(urls, n_buckets=self.n_buckets).select(
-            "__h1", "__h2", "__bucket"
-        )
-
-        B = self.B
-
-        def drop(key, urls_pdf: pd.DataFrame, blob_pdf: pd.DataFrame):
-            if not len(blob_pdf):
-                return pd.DataFrame({"bucket": [], "bits": []}).astype(
-                    {"bucket": "int32", "bits": object}
-                )
-            slots, overflow = _ck_decode(bytes(blob_pdf["bits"].iloc[0]), B)
-            if len(urls_pdf):
-                fp, i1, i2 = _ck_fp_i1_i2(
-                    urls_pdf["__h1"].to_numpy(), urls_pdf["__h2"].to_numpy(), B
-                )
-                for f, a, b in zip(fp, i1, i2):
-                    for bucket in (int(a), int(b)):
-                        hit = np.flatnonzero(slots[bucket] == f)
-                        if len(hit):
-                            slots[bucket, hit[0]] = 0
-                            break
-            return pd.DataFrame(
-                {"bucket": [int(key[0])], "bits": [_ck_encode(slots, overflow)]}
-            )
-
-        merged = (
-            hashed.groupBy("__bucket")
-            .cogroup(existing.groupBy("bucket"))
-            .applyInPandas(drop, schema="bucket int, bits binary")
-        )
-        self.catalog.commit(self.TABLE, merged, commit_id, mode="overwrite")
+        self._commit_ops(urls, commit_id, _DEL, upto)
 
     # ------------------------------------------------------------------ probe
     def flag_maybe_seen(self, candidates: DataFrame, upto: str | None = None) -> DataFrame:
-        blobs = self.catalog.read(self.TABLE, upto=upto)
-        if blobs is None:
-            return candidates.withColumn("maybe_seen", F.lit(False))
-        from pyspark.sql import types as T
+        return self._probe_flags(candidates, upto)
 
-        hashed = with_bloom_hashes(candidates, n_buckets=self.n_buckets)
-        out_schema = T.StructType(
-            [f for f in hashed.schema.fields if f.name != "__bucket"]
-            + [T.StructField("maybe_seen", T.BooleanType(), False)]
-        )
 
-        B = self.B
+def anti_join_by_hash(
+    left: DataFrame, right: DataFrame, hash_col: str = "url_hash", url_col: str = "url"
+) -> DataFrame:
+    """left_anti keyed on the int64 hash ONLY, with url equality as a
+    RESIDUAL condition for collision safety.
 
-        def probe(key, cand_pdf: pd.DataFrame, blob_pdf: pd.DataFrame):
-            if not len(cand_pdf):
-                return cand_pdf.drop(columns=["__bucket"]).assign(maybe_seen=True)
-            out = cand_pdf.drop(columns=["__bucket"])
-            if not len(blob_pdf):
-                out["maybe_seen"] = False
-                return out
-            slots, overflow = _ck_decode(bytes(blob_pdf["bits"].iloc[0]), B)
-            if overflow:
-                out["maybe_seen"] = True  # degraded partition: safe direction
-                return out
-            fp, i1, i2 = _ck_fp_i1_i2(
-                cand_pdf["__h1"].to_numpy(), cand_pdf["__h2"].to_numpy(), B
-            )
-            hit = (slots[i1] == fp[:, None]).any(axis=1) | (
-                slots[i2] == fp[:, None]
-            ).any(axis=1)
-            out["maybe_seen"] = hit
-            return out
-
-        flagged = (
-            hashed.groupBy("__bucket")
-            .cogroup(blobs.groupBy("bucket"))
-            .applyInPandas(probe, schema=out_schema)
-        )
-        return flagged.drop("__h1", "__h2")
+    The url check is written as the <=/>= pair on purpose: Catalyst's
+    ExtractEquiJoinKeys lifts ANY ``l == r`` into the join key, which would
+    put frontier-scale strings back onto the shuffle-hash/sort path. As a
+    pair of range predicates it stays a post-match filter, so the exchange
+    partitions and the SMJ sorts on the uniform int64 alone — several-fold
+    fewer compared bytes for long URLs, identical semantics (a hash
+    collision between different urls never drops the unseen url).
+    """
+    r = right.select(
+        F.col(hash_col).alias("__r_hash"), F.col(url_col).alias("__r_url")
+    )
+    cond = (
+        (left[hash_col] == r["__r_hash"])
+        & (left[url_col] <= r["__r_url"])
+        & (left[url_col] >= r["__r_url"])
+    )
+    return left.join(r, cond, "left_anti")
 
 
 def anti_join_seen(candidates: DataFrame, seen: DataFrame | None) -> DataFrame:
     """Exact dedup: drop candidates whose (url_hash, url) is in the seen set.
 
-    Joining on the hash first lets Spark shuffle both sides on a uniform int64
-    key (no host skew); the url equality rides along for collision safety.
+    Shuffles both sides on the uniform int64 hash (no host skew, no string
+    sort keys); url equality rides along as a residual (anti_join_by_hash).
     """
     if seen is None:
         return candidates
-    return candidates.join(
-        seen.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
-    )
+    return anti_join_by_hash(candidates, seen.select("url_hash", "url"))
 
 
 def dedup_new_urls(

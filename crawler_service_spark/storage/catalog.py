@@ -196,6 +196,17 @@ class ManifestCatalog:
                 out.append(json.load(f)["commit_id"])
         return out
 
+    def commit_modes(self, table: str) -> list[tuple[str, str]]:
+        """(commit_id, mode) per manifest in commit order — lets LSM-shaped
+        tables (the seen-filter delta chains) count appends since the last
+        overwrite without reading any data files."""
+        out = []
+        for name in self._manifests(table):
+            with open(os.path.join(self._manifest_dir(table), name)) as f:
+                m = json.load(f)
+            out.append((m["commit_id"], m["mode"]))
+        return out
+
     def compact(self, table: str, commit_id: str, files: int | None = None) -> bool:
         """Rewrite the table's current snapshot as ONE overwrite commit.
 

@@ -167,6 +167,66 @@ def test_crawl_with_cuckoo_backend_matches_oracle(spark, tiny_fixture, tmp_path)
     assert snaps[0] == snaps[1]
 
 
+def _commit_bytes(catalog, table):
+    """Data bytes per commit id, from the committed files on disk."""
+    import os
+
+    out = {}
+    for cid in catalog.commits(table):
+        d = os.path.join(catalog._table_dir(table), "data", cid)
+        out[cid] = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+        )
+    return out
+
+
+def test_filter_delta_commit_bytes_scale_with_batch(spark, catalog):
+    """VERDICT r2 #1: per-iteration filter-commit bytes must scale with the
+    BATCH, not the filter. A 5-url update onto a big filter must write orders
+    of magnitude less than the folded base blobs."""
+    bloom = BloomSeenFilter(catalog, n_buckets=16, m_bits=1 << 17, compact_every=100)
+    bloom.update(urls_df(spark, SEEN_URLS).select("url"), "b-0")
+    bloom.update(urls_df(spark, NEW_URLS[:5]).select("url"), "b-1", upto="b-0")
+    sizes = _commit_bytes(catalog, BloomSeenFilter.TABLE)
+    base_bytes = 16 * (1 << 17) // 8  # what full blobs would cost
+    assert sizes["b-1"] < base_bytes / 20, (
+        f"tiny-batch delta commit wrote {sizes['b-1']}B ~ filter-sized "
+        f"({base_bytes}B) — write amplification is back"
+    )
+    # and the probe over the chain still sees everything
+    flagged = bloom.flag_maybe_seen(urls_df(spark, SEEN_URLS + NEW_URLS[:5]), upto="b-1")
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+@pytest.mark.parametrize("kind", ["bloom", "cuckoo"])
+def test_filter_compaction_fold_equivalence(spark, catalog, kind):
+    """After compact_every deltas the chain folds into base blobs (one
+    overwrite commit); probes across the fold boundary are identical."""
+    from crawler_service_spark.operators.dedup import CuckooSeenFilter
+
+    if kind == "bloom":
+        f = BloomSeenFilter(catalog, n_buckets=4, m_bits=1 << 14, compact_every=2)
+    else:
+        f = CuckooSeenFilter(catalog, n_buckets=4, n_slots=1 << 12, compact_every=2)
+    chunks = [SEEN_URLS[i::4] for i in range(4)]
+    prev = None
+    for i, chunk in enumerate(chunks):
+        f.update(urls_df(spark, chunk).select("url"), f"c-{i}", upto=prev)
+        prev = f"c-{i}"
+    modes = dict(catalog.commit_modes(f.TABLE))
+    assert "overwrite" in modes.values(), "compaction never triggered"
+    assert modes["c-0"] == "append"
+    flagged = f.flag_maybe_seen(urls_df(spark, SEEN_URLS + NEW_URLS), upto=prev)
+    got = {r["url"]: r["maybe_seen"] for r in flagged.collect()}
+    assert all(got[u] for u in SEEN_URLS), "no false negatives across the fold"
+    fp = sum(got[u] for u in NEW_URLS) / len(NEW_URLS)
+    assert fp < 0.2, f"fpp {fp:.2%} after compaction"
+    # pre-compaction snapshots still replay the delta chain untouched
+    early = f.flag_maybe_seen(urls_df(spark, chunks[0]), upto="c-0")
+    assert early.filter(~F.col("maybe_seen")).count() == 0
+
+
 def test_cuckoo_blob_model_property():
     """Model-based check of the blob-level cuckoo ops (pure numpy, no Spark):
     against a multiset model, after any interleaving of inserts and deletes

@@ -418,6 +418,22 @@ def _j6_connected_components(spark, sf):
     return connected_components(edges)
 
 
+def _j6_cc_star(spark, sf):
+    """J6 at 100x scale: alternating large-star/small-star connected
+    components (O(log n) rounds on any diameter — Kiveris et al.,
+    operators/graph.py) over the same family graph; identical components to
+    the label-prop twin."""
+    from crawler_service_spark.operators.graph import connected_components_star
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 25).alias("hub")
+    )
+    edges = d.filter(F.col("doc_id") != F.col("hub")).select(
+        F.col("hub").alias("src"), F.col("doc_id").alias("dst")
+    )
+    return connected_components_star(edges)
+
+
 def _u4_frontier_merge(spark, sf):
     """U4: merge discovered candidates from parallel producers, keep the
     first occurrence per key (frontier union semantics)."""
@@ -662,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_ftp_dir_guess": _f4_ftp_dir_guess,
         "j6_group_edges": _j6_group_edges,
         "j6_connected_components": _j6_connected_components,
+        "j6_cc_star": _j6_cc_star,
         "u4_frontier_merge": _u4_frontier_merge,
         "g2_families_grouped": _g2_families_grouped,
         "l1_topk": _l1_topk,
@@ -1213,6 +1230,12 @@ def oracle_sql() -> dict[str, str]:
               ON a.fam = b.fam AND a.doc_id < b.doc_id
         """,
         "j6_connected_components": """
+            WITH fams AS (SELECT doc_id, doc_id - doc_id % 25 AS hub FROM documents),
+            counts AS (SELECT hub, count(*) AS c FROM fams GROUP BY hub)
+            SELECT doc_id AS node, hub AS component
+            FROM fams JOIN counts USING (hub) WHERE c > 1
+        """,
+        "j6_cc_star": """
             WITH fams AS (SELECT doc_id, doc_id - doc_id % 25 AS hub FROM documents),
             counts AS (SELECT hub, count(*) AS c FROM fams GROUP BY hub)
             SELECT doc_id AS node, hub AS component

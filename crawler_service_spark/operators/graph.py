@@ -3,16 +3,20 @@ reference's file-grouping graph (group -> edges via itertools.combinations,
 components implied by networkx; /root/reference/tests/graph_test.py:9-20,
 SURVEY.md §2.3 J6).
 
-Algorithm: iterative min-label propagation entirely in DataFrames —
-``label(v) = min(label(v), min over neighbors(label(u)))`` to a fixpoint.
-Each round is one shuffle (groupBy node); convergence is O(graph diameter)
-rounds, so callers should feed edge sets with bounded diameter (grouping
-graphs are star-shaped: members link to a hub, diameter <= 2). For
-adversarial diameters switch to large-star/small-star — not needed for the
-grouping workload.
+Two algorithms, both pure DataFrame:
+
+- ``connected_components`` — iterative min-label propagation:
+  ``label(v) = min(label(v), min over neighbors(label(u)))`` to a fixpoint.
+  One shuffle per round, O(graph diameter) rounds — right for the grouping
+  workload (family graphs are star-shaped, diameter <= 2).
+- ``connected_components_star`` — alternating large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+  O(log n) rounds on ANY diameter, the 100x path for deep/social-shaped
+  graphs. Each round is two groupBy-min + join passes over the shrinking
+  edge set; convergence = edge-set signature fixpoint.
 
 Scale notes: edges are symmetrized once; every round's shuffle keys on the
-node id (uniform hash, no skew); the loop early-exits via an ``observe``
+node id (uniform hash, no skew); label-prop early-exits via an ``observe``
 counter on the rows that changed, and each round's result is
 ``localCheckpoint``ed so lineage stays O(1) instead of O(rounds).
 """
@@ -82,3 +86,89 @@ def connected_components(
             "graph diameter exceeds max_rounds"
         )
     return labels
+
+
+def _large_star(E: DataFrame) -> DataFrame:
+    """large-star(u): connect every STRICTLY-LARGER neighbor v > u to
+    m = min({u} ∪ N(u)). Each undirected edge contributes from exactly one
+    endpoint (its smaller one)."""
+    S = E.select("a", "b").union(
+        E.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = S.groupBy("a").agg(F.min("b").alias("mn"))
+    mins = mins.select("a", F.least("a", "mn").alias("m"))
+    out = (
+        S.filter(F.col("b") > F.col("a"))
+        .join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    return out.filter(F.col("a") != F.col("b")).distinct()
+
+
+def _small_star(E: DataFrame) -> DataFrame:
+    """small-star(u): over the canonical (larger -> smaller) orientation,
+    connect u and all its smaller neighbors to their minimum."""
+    S = (
+        E.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    mins = S.groupBy("a").agg(F.min("b").alias("m"))
+    out = S.join(mins, "a").select(F.col("b").alias("a"), F.col("m").alias("b")).union(
+        mins.select("a", F.col("m").alias("b"))
+    )
+    return out.filter(F.col("a") != F.col("b")).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(node, component) via alternating large-star/small-star — O(log n)
+    rounds regardless of diameter (the label-prop twin above is O(diameter)).
+
+    Convergence: at the fixpoint the edge set is a star forest (every edge
+    points child -> component-min), detected by an edge-set signature
+    (count + xxhash64 sum — collision odds are ~n/2^64, and a false stop
+    would still require the NEXT round to be a no-op on a star forest).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    E = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    converged = E.isEmpty()
+    for _ in range(max_rounds):
+        if converged:
+            break
+        E = _small_star(_large_star(E)).localCheckpoint()
+        # count + two xor-folded hash streams: overflow-free (ANSI mode) and
+        # sound on a distinct edge set
+        sig = tuple(
+            E.agg(
+                F.count(F.lit(1)),
+                F.expr("bit_xor(xxhash64(a, b))"),
+                F.expr("bit_xor(xxhash64(b, a))"),
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            converged = True
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} rounds"
+        )
+    comp = E.groupBy("a").agg(F.min("b").alias("component"))
+    return nodes.join(
+        comp.select(F.col("a").alias("node"), "component"), on="node", how="left"
+    ).select("node", F.coalesce("component", "node").alias("component"))

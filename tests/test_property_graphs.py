@@ -126,3 +126,53 @@ def test_connected_components_raises_on_non_convergence(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_rounds=2)
+
+
+def test_star_cc_equals_label_prop_on_random_graphs(spark):
+    """large-star/small-star CC (O(log n) rounds) must agree with min-label
+    propagation on arbitrary random graphs — including shapes label-prop
+    finds hard (long paths)."""
+    from pyspark.sql import functions as F
+
+    from crawler_service_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(1234)
+    cases = []
+    for _ in range(6):
+        n = rng.randint(2, 60)
+        m = rng.randint(1, 2 * n)
+        cases.append([(rng.randrange(n), rng.randrange(n)) for _ in range(m)])
+    cases.append([(i, i + 1) for i in range(40)])          # path: diameter 40
+    cases.append([(0, i) for i in range(1, 30)])            # star
+    cases.append([(i, (i + 1) % 10) for i in range(10)]     # ring + satellite
+                 + [(100, 5)])
+
+    for i, raw in enumerate(cases):
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in raw], "src long, dst long"
+        )
+        want = {
+            (r["node"], r["component"])
+            for r in connected_components(edges, max_rounds=100).collect()
+        }
+        got = {
+            (r["node"], r["component"])
+            for r in connected_components_star(edges).collect()
+        }
+        assert got == want, f"case {i}: star CC != label-prop"
+
+
+def test_star_cc_logarithmic_rounds_on_deep_path(spark):
+    """The O(log n) claim: a 60-node path (diameter 60) converges within
+    max_rounds=8 for star CC, where label-prop provably cannot."""
+    from crawler_service_spark.operators.graph import connected_components_star
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src long, dst long"
+    )
+    labels = connected_components_star(chain, max_rounds=8).collect()
+    assert {r["component"] for r in labels} == {0}
+    assert len(labels) == 61

@@ -41,6 +41,8 @@ SF001 = "/root/testdata/sf0.001"
 BAD_PREFIXES = ["key agg", "batch window", "small fast"]
 JACCARD_THRESHOLD = 300           # permille
 MINHASH_HASHES, MINHASH_BANDS = 16, 4
+CHUNK_TOKENS = 8                  # paragraph-proxy chunk size for chunk-level dedup
+INCR_BATCH_MOD = 5                # doc_id % 5 == 0 -> "new batch" for incremental dedup
 DOT_TOPK, DOT_PAIR_THRESHOLD = 20, 450_000   # quantized-dot scale: 1e6 == cos 1.0
 EMB_DIM = 64                                 # embeddings.parquet vector length
 ANN_PLANES = 8                               # single-probe ANN bucket bits
@@ -492,6 +494,62 @@ def _dedup_simhash(spark, sf):
     return docdedup.simhash(_t(spark, sf, "documents"))
 
 
+def _dedup_chunks(spark, sf):
+    """Chunk-level (paragraph-proxy) exact dedup: global first-occurrence per
+    distinct token chunk, per-doc retention stats + surviving-text md5."""
+    return docdedup.chunk_dedup(_t(spark, sf, "documents"), chunk_tokens=CHUNK_TOKENS)
+
+
+def _dedup_minhash_cluster(spark, sf):
+    """Full near-dup clustering: LSH-verified pairs -> connected components
+    (large-star/small-star) -> one row per cluster with the canonical keeper."""
+    return docdedup.minhash_dup_clusters(
+        _t(spark, sf, "documents"),
+        num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        threshold_permille=JACCARD_THRESHOLD,
+    )
+
+
+def _dedup_incremental(spark, sf):
+    """Incremental (batch-vs-index) dedup: docs with doc_id % INCR_BATCH_MOD
+    == 0 play 'tonight's crawl', the rest the standing corpus index."""
+    d = _t(spark, sf, "documents")
+    return docdedup.minhash_incremental_dups(
+        d.filter(F.col("doc_id") % INCR_BATCH_MOD == 0),
+        d.filter(F.col("doc_id") % INCR_BATCH_MOD != 0),
+        num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        threshold_permille=JACCARD_THRESHOLD,
+    )
+
+
+def _pipeline_retention_funnel(spark, sf):
+    """Composed training-data funnel per source: docs in -> pass Gopher
+    quality gates -> survive exact dedup (first-occurrence keeper) ->
+    retained (both). The composition every corpus build runs end-to-end."""
+    d = _t(spark, sf, "documents")
+    g = textquality.gopher_quality(d).select("doc_id", "gopher_pass")
+    keepers = docdedup.exact_dedup(d).select(
+        F.col("keep_doc_id").alias("doc_id"), F.lit(True).alias("is_unique")
+    )
+    j = (
+        d.select("doc_id", "source")
+        .join(g, "doc_id")
+        .join(keepers, "doc_id", "left")
+        .select(
+            "source",
+            "gopher_pass",
+            F.coalesce("is_unique", F.lit(False)).alias("is_unique"),
+        )
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        cnt(F.col("gopher_pass")).alias("n_quality_pass"),
+        cnt(F.col("is_unique")).alias("n_unique"),
+        cnt(F.col("gopher_pass") & F.col("is_unique")).alias("n_retained"),
+    )
+
+
 def _text_quality(spark, sf):
     return textquality.quality_metrics(_t(spark, sf, "documents"))
 
@@ -695,6 +753,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_minhash_verified": _dedup_minhash_verified,
         "dedup_simhash": _dedup_simhash,
+        "dedup_chunks": _dedup_chunks,
+        "dedup_minhash_cluster": _dedup_minhash_cluster,
+        "dedup_incremental": _dedup_incremental,
+        "pipeline_retention_funnel": _pipeline_retention_funnel,
         "dedup_embedding_pairs": _dedup_embedding_pairs,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
         "text_quality": _text_quality,
@@ -774,9 +836,16 @@ def _simhash_sql() -> str:
     """
 
 
-def _minhash_cte() -> str:
+def _minhash_cte(
+    cand_where: str = "a.doc_id < b.doc_id", recursive: bool = False
+) -> str:
     """Shared CTE chain sh -> hashed -> sig -> buckets (affine universal hash
-    family over ONE md5 per shingle — lockstep with docdedup.minhash_signatures)."""
+    family over ONE md5 per shingle — lockstep with docdedup.minhash_signatures).
+
+    ``cand_where`` restricts the candidate bucket join (the incremental oracle
+    crosses batch x index instead of the triangular self-join); ``recursive``
+    emits WITH RECURSIVE so a downstream CTE may self-reference (the cluster
+    oracle's transitive closure)."""
     p = docdedup.MINHASH_P
     a, b = docdedup.minhash_coeffs(MINHASH_HASHES)
     rows = MINHASH_HASHES // MINHASH_BANDS
@@ -790,15 +859,16 @@ def _minhash_cte() -> str:
         for bb in range(MINHASH_BANDS)
     )
     h = _H32.format(s="shingle")
+    kw = "WITH RECURSIVE" if recursive else "WITH"
     return f"""
-        WITH sh AS ({_SHINGLES}),
+        {kw} sh AS ({_SHINGLES}),
         hashed AS (SELECT doc_id, ({h}) % {p} AS h FROM sh),
         sig AS (SELECT doc_id, {mh} FROM hashed GROUP BY doc_id),
         buckets AS ({band_rows}),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM buckets a JOIN buckets b ON a.band = b.band AND a.sig = b.sig
-            WHERE a.doc_id < b.doc_id
+            WHERE {cand_where}
         )
     """
 
@@ -807,9 +877,13 @@ def _minhash_sql() -> str:
     return _minhash_cte() + "SELECT doc_a, doc_b FROM cand"
 
 
-def _minhash_verified_sql() -> str:
+def _minhash_verified_core(
+    cand_where: str = "a.doc_id < b.doc_id", recursive: bool = False
+) -> str:
+    """CTE chain through ``verified`` (candidates + true-Jaccard gate);
+    callers append their own final SELECT (or further CTEs)."""
     return (
-        _minhash_cte()
+        _minhash_cte(cand_where=cand_where, recursive=recursive)
         + f"""
         , sizes AS (SELECT doc_id, count(*) AS sh_count FROM sh GROUP BY doc_id),
         inter AS (
@@ -818,13 +892,73 @@ def _minhash_verified_sql() -> str:
             JOIN sh a ON a.doc_id = c.doc_a
             JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
             GROUP BY c.doc_a, c.doc_b
+        ),
+        verified AS (
+            SELECT doc_a, doc_b,
+                   (1000 * inter) // (sa.sh_count + sb.sh_count - inter) AS jaccard_permille
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE (1000 * inter) // (sa.sh_count + sb.sh_count - inter) >= {JACCARD_THRESHOLD}
         )
-        SELECT doc_a, doc_b,
-               (1000 * inter) // (sa.sh_count + sb.sh_count - inter) AS jaccard_permille
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE (1000 * inter) // (sa.sh_count + sb.sh_count - inter) >= {JACCARD_THRESHOLD}
+    """
+    )
+
+
+def _minhash_verified_sql() -> str:
+    return (
+        _minhash_verified_core()
+        + "SELECT doc_a, doc_b, jaccard_permille FROM verified"
+    )
+
+
+def _minhash_cluster_sql() -> str:
+    """DuckDB twin of minhash_dup_clusters: verified pairs -> recursive-CTE
+    transitive closure -> min-label components -> cluster rollup. The closure
+    is the small-data oracle for the repo's large-star/small-star Spark path."""
+    return (
+        _minhash_verified_core(recursive=True)
+        + """
+        , edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM verified
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM verified
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+        ),
+        comp AS (
+            SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+        )
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+               md5(string_agg(CAST(node AS VARCHAR), ',' ORDER BY node)) AS members_md5
+        FROM comp GROUP BY cluster_id
+    """
+    )
+
+
+def _minhash_incremental_sql() -> str:
+    """DuckDB twin of minhash_incremental_dups with the batch split
+    doc_id % INCR_BATCH_MOD == 0 (sh covers batch and index alike, so the
+    shared verify tail applies verbatim)."""
+    return (
+        _minhash_verified_core(
+            cand_where=(
+                f"a.doc_id % {INCR_BATCH_MOD} = 0 AND b.doc_id % {INCR_BATCH_MOD} <> 0"
+            )
+        )
+        + """
+        , best AS (
+            SELECT doc_a, doc_b, jaccard_permille,
+                   row_number() OVER (
+                       PARTITION BY doc_a ORDER BY jaccard_permille DESC, doc_b ASC
+                   ) AS rn
+            FROM verified
+        )
+        SELECT doc_a AS doc_id, doc_b AS dup_of, jaccard_permille
+        FROM best WHERE rn = 1
     """
     )
 
@@ -1303,7 +1437,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_minhash_verified": _minhash_verified_sql(),
+        "dedup_minhash_cluster": _minhash_cluster_sql(),
+        "dedup_incremental": _minhash_incremental_sql(),
         "dedup_simhash": _simhash_sql(),
+        "dedup_chunks": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS t FROM documents WHERE len({_TOKS}) > 0
+            ),
+            chunks AS (
+                SELECT doc_id, i AS idx,
+                       array_to_string(t[(i*{CHUNK_TOKENS}+1):(i*{CHUNK_TOKENS}+{CHUNK_TOKENS})], ' ') AS chunk
+                FROM t, unnest(range(0, (len(t) + {CHUNK_TOKENS - 1}) // {CHUNK_TOKENS})) AS u(i)
+            ),
+            ranked AS (
+                SELECT doc_id, idx, chunk,
+                       row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn
+                FROM chunks
+            )
+            SELECT doc_id, count(*) AS n_chunks,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST((1000 * sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS kept_permille,
+                   md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY idx), '')) AS kept_text_md5
+            FROM ranked GROUP BY doc_id
+        """,
+        "pipeline_retention_funnel": f"""
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(len({_TOKS}) AS BIGINT) AS word_count,
+                       CAST(CASE WHEN len({_TOKS}) > 0
+                            THEN (1000 * list_sum(list_transform({_TOKS}, x -> length(x)))) // len({_TOKS})
+                            ELSE 0 END AS BIGINT) AS mean_word_len_millis,
+                       CAST(CASE WHEN len({_TOKS}) > 0
+                            THEN (1000 * len(list_filter({_TOKS}, x -> regexp_matches(x, '[a-z]')))) // len({_TOKS})
+                            ELSE 0 END AS BIGINT) AS alpha_word_permille,
+                       CAST({" + ".join(f"len(list_filter({_TOKS}, x -> x = '{w}'))" for w in textquality.LANG_MARKERS["en"])} AS BIGINT) AS stopword_hits
+                FROM documents
+            ),
+            keepers AS (
+                SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+            ),
+            j AS (
+                SELECT d.source,
+                       (c.word_count >= 50 AND c.word_count <= 100000
+                        AND c.mean_word_len_millis >= 3000 AND c.mean_word_len_millis <= 10000
+                        AND c.alpha_word_permille >= 800
+                        AND c.stopword_hits >= 2) AS q,
+                       (k.keep_id IS NOT NULL) AS u
+                FROM documents d
+                JOIN c ON c.doc_id = d.doc_id
+                LEFT JOIN keepers k ON k.keep_id = d.doc_id
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+                   CAST(sum(CASE WHEN u THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+                   CAST(sum(CASE WHEN q AND u THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+            FROM j GROUP BY source
+        """,
         "dedup_embedding_lsh": _embedding_lsh_sql(),
         "ann_cosine_topk": _ann_cosine_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),

@@ -135,6 +135,33 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_buckets(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, band, sig): one LSH bucket key per band per doc.
+
+    In a stored-index deployment this frame IS the persisted minhash index —
+    ``minhash_incremental_dups`` joins a new batch's buckets against it."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n, text_col=text_col)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -149,20 +176,7 @@ def minhash_lsh_pairs(
     cardinality, skew-free — which is what makes this the 10^10-doc path
     (vs the all-pairs join above).
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n, text_col=text_col)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "_", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("sig"),
-        )
-        for b in range(bands)
-    ]
-    buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
-    )
+    buckets = minhash_buckets(docs, num_hashes=num_hashes, bands=bands, n=n, text_col=text_col)
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     return (
@@ -238,4 +252,178 @@ def simhash_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("simhash")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def chunk_dedup(
+    docs: DataFrame, chunk_tokens: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Chunk-level (paragraph-style) exact dedup across the corpus.
+
+    The RefinedWeb/CCNet shape: split every document into consecutive
+    ``chunk_tokens``-token chunks, keep only the FIRST occurrence of each
+    distinct chunk corpus-wide (ordered by (doc_id, chunk index)), and report
+    per-doc retention plus an md5 of the surviving text. The synthetic
+    ``documents`` fixture has no newlines, so the chunking rule is the
+    deterministic token-window proxy for paragraph splitting; the dedup
+    machinery (global first-occurrence over a content hash) is the real
+    operator (ref analogue: dedup-before-work, legacy/posix_crawler.py:131).
+
+    Scale shape: one shuffle on the uniform chunk-hash key (the row_number
+    window is per-hash-group, equivalent to a groupBy), then one shuffle back
+    on doc_id. No skew: chunk hashes are uniform; a pathological hot chunk
+    (e.g. boilerplate) still groups to a single count, not a fanout.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_col(text_col)
+    n_chunks = F.floor((F.size(toks) + F.lit(chunk_tokens - 1)) / F.lit(chunk_tokens))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+        ),
+    )
+    exploded = (
+        widen(docs)
+        .filter(F.size(toks) > 0)
+        .select("doc_id", F.posexplode(chunks).alias("idx", "chunk"))
+    )
+    w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy("doc_id", "idx")
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("idx", "chunk"))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.array_sort(F.collect_list(kept_struct)).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            F.expr("div(1000 * n_kept, n_chunks)").alias("kept_permille"),
+            F.md5(
+                F.concat_ws(" ", F.transform(F.col("kept"), lambda s: s["chunk"]))
+            ).alias("kept_text_md5"),
+        )
+    )
+
+
+def minhash_dup_clusters(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold_permille: int = 300,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup CLUSTERS with a canonical keeper: LSH-verified pairs form an
+    undirected similarity graph; its connected components are the duplicate
+    clusters; the minimum doc_id in each component is the keeper (what a
+    training-data pipeline actually deletes against).
+
+    Output: one row per multi-doc cluster —
+    (cluster_id = keeper doc_id, n_members, members_md5 over the sorted ids).
+
+    Scale shape: pairs come from the banded equi-join (no all-pairs), the
+    component step is alternating large-star/small-star (O(log n) rounds),
+    and the rollup is one shuffle on the component key. This is the standard
+    MinHashLSH + CC dedup used on Common-Crawl-scale corpora.
+    """
+    pairs = minhash_verified_pairs(
+        docs, num_hashes=num_hashes, bands=bands, n=n,
+        threshold_permille=threshold_permille, text_col=text_col,
+    )
+    from .graph import connected_components_star
+
+    cc = connected_components_star(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("node")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("members_md5"),
+        )
+        .filter(F.col("n_members") > 1)
+        .select(F.col("component").alias("cluster_id"), "n_members", "members_md5")
+    )
+
+
+def minhash_incremental_dups(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold_permille: int = 300,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental dedup: flag docs in a NEW batch that near-duplicate a doc
+    already in the INDEX corpus — the shape every rolling 100 TB ingest needs
+    (dedupe tonight's crawl against the standing corpus without recomparing
+    the corpus to itself).
+
+    The index side's ``minhash_buckets`` frame is exactly what a deployment
+    persists between runs; only the new batch's signatures are computed fresh,
+    and the candidate join touches index buckets matching a new-batch key.
+    Verification (true Jaccard) runs only over candidates. Output: one row per
+    duplicated new doc — (doc_id, dup_of, jaccard_permille), best match by
+    (jaccard desc, dup_of asc).
+    """
+    from pyspark.sql import Window
+
+    bn = minhash_buckets(new_docs, num_hashes=num_hashes, bands=bands, n=n, text_col=text_col)
+    bi = minhash_buckets(index_docs, num_hashes=num_hashes, bands=bands, n=n, text_col=text_col)
+    cand = (
+        bn.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+        .join(bi.select(F.col("doc_id").alias("doc_b"), "band", "sig"), ["band", "sig"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_a = shingles(new_docs, n=n, text_col=text_col).select(
+        F.col("doc_id").alias("doc_a"), "shingle"
+    )
+    sh_b = shingles(index_docs, n=n, text_col=text_col).select(
+        F.col("doc_id").alias("doc_b"), "shingle"
+    )
+    sizes_a = sh_a.groupBy("doc_a").agg(F.count("*").alias("size_a"))
+    sizes_b = sh_b.groupBy("doc_b").agg(F.count("*").alias("size_b"))
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    verified = (
+        inter.join(sizes_a, "doc_a")
+        .join(sizes_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("div(1000 * inter, size_a + size_b - inter)").alias("jaccard_permille"),
+        )
+        .filter(F.col("jaccard_permille") >= threshold_permille)
+    )
+    w = Window.partitionBy("doc_a").orderBy(
+        F.col("jaccard_permille").desc(), F.col("doc_b").asc()
+    )
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("dup_of"),
+            "jaccard_permille",
+        )
     )

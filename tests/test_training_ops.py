@@ -228,3 +228,101 @@ def test_gopher_quality_and_repetition_on_crafted_docs(spark):
     assert rep[3]["top_unigram_permille"] == 1000  # all one token
     assert rep[3]["top_bigram_permille"] == 1000
     assert rep[1]["top_unigram_permille"] <= 100  # each token is 1/10 of text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+
+
+def test_chunk_dedup_crafted(spark):
+    """Global first-occurrence semantics: whole-doc dup keeps nothing, partial
+    overlap keeps only novel chunks, within-doc repeats dedup too."""
+    import hashlib
+
+    d = _docs(
+        spark,
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),          # exact dup of doc 1 -> keeps nothing
+            (3, "a b c x y z"),          # first chunk dup, second novel
+            (4, "p q r p q r"),          # within-doc repeated chunk
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in docdedup.chunk_dedup(d, chunk_tokens=3).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 2)
+    assert out[1]["kept_text_md5"] == md5("a b c d e f")
+    assert (out[2]["n_chunks"], out[2]["n_kept"]) == (2, 0)
+    assert out[2]["kept_text_md5"] == md5("")
+    assert (out[3]["n_kept"], out[3]["kept_permille"]) == (1, 500)
+    assert out[3]["kept_text_md5"] == md5("x y z")
+    assert (out[4]["n_chunks"], out[4]["n_kept"]) == (2, 1)
+    assert out[4]["kept_text_md5"] == md5("p q r")
+
+
+def test_minhash_cluster_matches_union_find(spark):
+    """Cluster rollup == Python union-find over the operator's own verified
+    pairs, and the cluster id is the minimum member (the canonical keeper)."""
+    base = "the quick brown fox jumps over the lazy dog near the old stone bridge at dawn every single day"
+    rows = [
+        (1, base),
+        (2, base),                                  # exact dup of 1
+        (3, base.replace("dawn", "dusk")),          # near-dup of 1/2
+        (4, "completely different text about spark shuffles and partition skew in big batch jobs"),
+        (5, "completely different text about spark shuffles and partition skew in big batch work"),
+        (6, "a unique short document with nothing in common with the others at all whatsoever today"),
+    ]
+    d = _docs(spark, rows)
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in docdedup.minhash_verified_pairs(d, threshold_permille=300).collect()
+    ]
+    assert pairs, "fixture must produce verified near-dup pairs"
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for node in parent:
+        expected.setdefault(find(node), set()).add(node)
+    expected = {k: v for k, v in expected.items() if len(v) > 1}
+
+    got = docdedup.minhash_dup_clusters(d, threshold_permille=300).collect()
+    assert {r["cluster_id"]: r["n_members"] for r in got} == {
+        k: len(v) for k, v in expected.items()
+    }
+    for r in got:
+        assert r["cluster_id"] == min(expected[r["cluster_id"]])
+
+
+def test_incremental_dups_flags_only_index_matches(spark):
+    """Batch docs are flagged iff they near-duplicate an INDEX doc; a batch
+    doc that only duplicates another batch doc is NOT flagged (the standing
+    corpus is the sole comparison target)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma"
+    index = _docs(spark, [(1, base), (2, "totally unrelated filler text about warc files and parquet row groups here")])
+    batch = _docs(
+        spark,
+        [
+            (10, base),                                   # dup of index doc 1
+            (15, "novel content fresh crawl page with brand new words never seen in the corpus before now"),
+            (20, "novel content fresh crawl page with brand new words never seen in the corpus before now"),
+            # 15/20 duplicate EACH OTHER but no index doc -> neither flagged
+        ],
+    )
+    got = docdedup.minhash_incremental_dups(batch, index, threshold_permille=300).collect()
+    assert {(r["doc_id"], r["dup_of"], r["jaccard_permille"]) for r in got} == {
+        (10, 1, 1000)
+    }

@@ -643,6 +643,7 @@ def _ann_lsh_multiprobe(spark, sf):
 
 
 IVF_LISTS, IVF_PROBE = 16, 2
+PQ_SUBSPACES, PQ_CODES = 8, 16   # 64-dim -> 8 subspaces x 16 codewords (1 byte/sub)
 
 
 def _ann_ivf_topk(spark, sf):
@@ -652,6 +653,14 @@ def _ann_ivf_topk(spark, sf):
         _quantized(spark, sf), _query_qvec(spark, sf), k=10,
         n_lists=IVF_LISTS, n_probe=IVF_PROBE,
     )
+
+
+def _ann_pq_topk(spark, sf):
+    """Product-quantization ANN: data-sampled integer codebooks, map-side
+    encode, ADC (lookup-table) scoring — the compressed-domain scan path."""
+    q = _quantized(spark, sf)
+    cb = similarity.pq_codebook(q, n_subspaces=PQ_SUBSPACES, n_codes=PQ_CODES)
+    return similarity.pq_topk(q, _query_qvec(spark, sf), cb, k=10)
 
 
 def _dedup_embedding_lsh(spark, sf):
@@ -770,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_lsh_multiprobe": _ann_lsh_multiprobe,
         "ann_ivf_topk": _ann_ivf_topk,
+        "ann_pq_topk": _ann_pq_topk,
         "multimodal_features": _multimodal_features,
         "multimodal_decode": _multimodal_decode,
         "multimodal_frames": _multimodal_frames,
@@ -1166,6 +1176,41 @@ def _ann_ivf_sql() -> str:
     )
 
 
+def _ann_pq_sql() -> str:
+    """DuckDB twin of pq_topk: data-sampled codebook (vec_id < PQ_CODES),
+    per-subspace windowed argmin encode, LUT-join ADC scoring."""
+    sub = EMB_DIM // PQ_SUBSPACES
+    sl = f"[(ms.m*{sub}+1):(ms.m*{sub}+{sub})]"
+    return f"""
+        WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
+        cb AS (SELECT vec_id AS k, qv AS cv FROM q WHERE vec_id < {PQ_CODES}),
+        ms AS (SELECT unnest(range(0, {PQ_SUBSPACES})) AS m),
+        sub AS (
+            SELECT v.vec_id, ms.m, c.k,
+                   -2 * CAST(list_dot_product(v.qv{sl}, c.cv{sl}) AS BIGINT)
+                     + CAST(list_dot_product(c.cv{sl}, c.cv{sl}) AS BIGINT) AS score
+            FROM q v, cb c, ms
+        ),
+        codes AS (
+            SELECT vec_id, m, k FROM (
+                SELECT vec_id, m, k,
+                       row_number() OVER (PARTITION BY vec_id, m ORDER BY score, k) AS rn
+                FROM sub
+            ) WHERE rn = 1
+        ),
+        qq AS (SELECT qv FROM q WHERE vec_id = 0),
+        lut AS (
+            SELECT ms.m, c.k,
+                   CAST(list_dot_product((SELECT qv FROM qq){sl}, c.cv{sl}) AS BIGINT) AS d
+            FROM cb c, ms
+        )
+        SELECT codes.vec_id, CAST(sum(lut.d) AS BIGINT) AS approx_dot
+        FROM codes JOIN lut ON codes.m = lut.m AND codes.k = lut.k
+        GROUP BY codes.vec_id
+        ORDER BY approx_dot DESC, codes.vec_id ASC LIMIT 10
+    """
+
+
 def _embedding_lsh_sql() -> str:
     from crawler_service_spark.operators.similarity import int_planes
 
@@ -1498,6 +1543,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_lsh_multiprobe": _ann_lsh_sql(probe_radius=1),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "ann_pq_topk": _ann_pq_sql(),
         "dedup_embedding_pairs": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot

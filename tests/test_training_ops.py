@@ -326,3 +326,30 @@ def test_incremental_dups_flags_only_index_matches(spark):
     assert {(r["doc_id"], r["dup_of"], r["jaccard_permille"]) for r in got} == {
         (10, 1, 1000)
     }
+
+
+def test_pq_codebook_vectors_reconstruct_exactly(spark, planted_embeddings):
+    """A vector that IS a codeword encodes to itself in every subspace (zero
+    distortion), so its ADC score equals its exact dot with the query — the
+    invariant that pins encode + LUT scoring end-to-end. Planted near-dups of
+    codebook rows must also land in the ADC top-k neighborhood."""
+    df, vecs = planted_embeddings
+    cb = similarity.pq_codebook(df, n_subspaces=8, n_codes=16)
+    qvec = [int(v) for v in np.round(vecs[0] * 1000)]
+
+    codes = {
+        r["vec_id"]: [r[f"code_{m}"] for m in range(8)]
+        for r in df.filter(F.col("vec_id") < 16)
+        .select("vec_id", *similarity.pq_encode_cols(cb))
+        .collect()
+    }
+    for vid, cs in codes.items():
+        assert cs == [vid] * 8, f"codeword {vid} must self-encode, got {cs}"
+
+    top = similarity.pq_topk(df, qvec, cb, k=10).collect()
+    rows = {r["vec_id"]: r["approx_dot"] for r in top}
+    exact_self = sum(a * b for a, b in zip(qvec, qvec))
+    assert rows.get(0) == exact_self  # vec 0 is a codeword: ADC == exact dot
+    # vec 300 is the planted near-dup of vec 0; with per-subspace cells this
+    # coarse it should share most codes and surface in the top-k
+    assert 300 in rows

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from crawler_service_spark.functions.urls import ext_class_col, extension_col
-from crawler_service_spark.operators import docdedup, grouping, multimodal, similarity, textquality
+from crawler_service_spark.operators import docdedup, grouping, multimodal, sessions, similarity, textquality
 from crawler_service_spark.operators.graph import connected_components
 
 SF001 = "/root/testdata/sf0.001"
@@ -550,6 +550,15 @@ def _pipeline_retention_funnel(spark, sf):
     )
 
 
+SESSION_GAP_S = 3600
+
+
+def _sessionize_events(spark, sf):
+    """Gap-based sessionization rollup over the events stream (lag-window
+    session starts + running-sum numbering, one shuffle on user_id)."""
+    return sessions.session_rollup(_t(spark, sf, "events"), gap_seconds=SESSION_GAP_S)
+
+
 def _text_quality(spark, sf):
     return textquality.quality_metrics(_t(spark, sf, "documents"))
 
@@ -766,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_cluster": _dedup_minhash_cluster,
         "dedup_incremental": _dedup_incremental,
         "pipeline_retention_funnel": _pipeline_retention_funnel,
+        "sessionize_events": _sessionize_events,
         "dedup_embedding_pairs": _dedup_embedding_pairs,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
         "text_quality": _text_quality,
@@ -1537,6 +1547,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN u THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
                    CAST(sum(CASE WHEN q AND u THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
             FROM j GROUP BY source
+        """,
+        "sessionize_events": f"""
+            WITH e AS (
+                SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+                FROM events
+            ),
+            lagged AS (
+                SELECT user_id, event_id, t,
+                       CASE WHEN lag(t) OVER w IS NULL
+                                 OR t - lag(t) OVER w > {SESSION_GAP_S}
+                            THEN 1 ELSE 0 END AS is_new
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+            ),
+            nums AS (
+                SELECT user_id, t,
+                       sum(is_new) OVER (
+                           PARTITION BY user_id ORDER BY t, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_id
+                FROM lagged
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   min(t) AS start_epoch, max(t) AS end_epoch,
+                   max(t) - min(t) AS duration_s
+            FROM nums GROUP BY user_id, session_id
         """,
         "dedup_embedding_lsh": _embedding_lsh_sql(),
         "ann_cosine_topk": _ann_cosine_sql(),

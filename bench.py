@@ -48,10 +48,14 @@ HEADLINE_QUERIES = [
     "text_quality",
     "text_langid",
     "dedup_minhash_verified",
+    "dedup_minhash_cluster",
+    "dedup_incremental",
+    "dedup_chunks",
     "dedup_embedding_lsh",
     "ann_dot_topk",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "multimodal_features",
 ]
 

@@ -156,3 +156,33 @@ def test_windowed_metrics_watermark_late_data(spark, tmp_path):
     out2 = {(r["window_start"].minute, r["host"]): r for r in spark.read.parquet(sink).collect()}
     assert out2[(0, "a")]["n_fetches"] == 3, "closed window must not change"
     assert out2[(5, "b")]["n_fetches"] == 1
+
+
+def test_streaming_dedup_first_occurrence_across_runs(spark, tmp_path):
+    """Cross-micro-batch exact dedup: a content hash admitted in batch 1 must
+    never re-emit in later batches or after a restart (state lives in the
+    checkpointed state store); within a batch the min-doc_id row wins."""
+    from crawler_service_spark.streaming import dedup_stream, read_deduped
+
+    in_dir = str(tmp_path / "docs")
+    sink = str(tmp_path / "dsink")
+    ckpt = str(tmp_path / "dckpt")
+    os.makedirs(in_dir)
+
+    def drop(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    # batch 1: two copies of A (doc 5 and 3 -> 3 wins), one B
+    drop([(5, "text A"), (3, "text A"), (7, "text B")])
+    dedup_stream(spark, in_dir, sink, ckpt)
+    out1 = {(r["doc_id"]) for r in read_deduped(spark, sink).collect()}
+    assert out1 == {3, 7}
+
+    # batch 2 (separate run = restart): A again (suppressed by state), C new
+    drop([(9, "text A"), (2, "text C")])
+    dedup_stream(spark, in_dir, sink, ckpt)
+    rows = read_deduped(spark, sink).collect()
+    assert {r["doc_id"] for r in rows} == {3, 7, 2}
+    assert len(rows) == 3  # exactly-once: no duplicate emissions

@@ -62,6 +62,13 @@ CLAIMS = {
     "dedup_minhash_verified": [
         (r"HashAggregate", "candidate-only intersection aggregates"),
     ],
+    "ann_pq_topk": [
+        (r"TakeOrderedAndProject", "ADC top-k without global sort"),
+    ],
+    "dedup_chunks": [
+        (r"Window", "first-occurrence via per-hash window"),
+        (r"row_number", "row_number, not full sort"),
+    ],
 }
 
 
@@ -93,7 +100,8 @@ def main() -> int:
     # all-pairs embedding query
     for name in ["q1_pricing_summary", "j1_broadcast_enrich", "j5_seen_antijoin",
                  "j4_prefix_theta_antijoin", "dedup_minhash_lsh",
-                 "dedup_minhash_verified", "dedup_embedding_lsh", "ann_lsh_topk"]:
+                 "dedup_minhash_verified", "dedup_embedding_lsh", "ann_lsh_topk",
+                 "dedup_minhash_cluster", "dedup_incremental", "ann_pq_topk"]:
         plan = formatted(qs[name](spark, SF_DIR))
         if "CartesianProduct" in plan:
             failures.append((name, "unexpected cartesian product"))

@@ -586,6 +586,31 @@ def _text_token_count(spark, sf):
     return d.select("doc_id", textquality.token_count_col("text").cast("long").alias("token_count"))
 
 
+DECON_MIN_OVERLAP = 3
+DECON_BENCH_MOD = 17  # doc_id % 17 == 0 plays the held-out eval set
+
+KEYWORD_TERMS = ["spark", "window", "merge"]
+KEYWORD_K = 10
+
+
+def _text_decontaminate(spark, sf):
+    """Benchmark decontamination: every doc_id % 17 == 0 doc plays an eval
+    item; corpus docs sharing >= 3 distinct trigrams with ANY of them are
+    flagged. Broadcast eval-shingle set, corpus never shuffles on strings."""
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return docdedup.decontaminate(corpus, bench, n=3, min_overlap=DECON_MIN_OVERLAP)
+
+
+def _text_keyword_topk(spark, sf):
+    """Integer-exact BM25-shaped keyword search top-k (two corpus scans +
+    one broadcast global row, TakeOrderedAndProject)."""
+    return textquality.keyword_topk(
+        _t(spark, sf, "documents"), KEYWORD_TERMS, k=KEYWORD_K
+    )
+
+
 def _quantized(spark, sf):
     e = _t(spark, sf, "embeddings")
     q = F.transform(
@@ -784,6 +809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": _text_token_count,
         "text_gopher_quality": _text_gopher_quality,
         "text_repetition": _text_repetition,
+        "text_decontaminate": _text_decontaminate,
+        "text_keyword_topk": _text_keyword_topk,
         "ann_dot_topk": _ann_dot_topk,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -810,6 +837,45 @@ _SHINGLES = f"""
     WHERE len(t) >= 3
 """
 _QUANT = "list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT))"
+
+
+def _keyword_topk_sql(k1: int = 1200, b: int = 750) -> str:
+    """DuckDB twin of textquality.keyword_topk — same all-integer BM25-shaped
+    formula, same div nesting order (positives only, so // == div)."""
+    tf_defs = ",\n                   ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(KEYWORD_TERMS)
+    )
+    df_defs = ",\n                   ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(KEYWORD_TERMS))
+    )
+    term_scores = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN "
+        f"((1000000 * tf_{i} * {1000 + k1}) // "
+        f"(1000 * tf_{i} + ({k1} * ({1000 - b} + ({b} * dl * 1000) // avgdl_millis)) // 1000) "
+        f"* ((1000000 * (n_docs - df_{i} + 1)) // (df_{i} + 1))) // 1000000 ELSE 0 END)"
+        for i in range(len(KEYWORD_TERMS))
+    )
+    return f"""
+        WITH pd AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                   {tf_defs}
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        ),
+        g AS (
+            SELECT count(*) AS n_docs,
+                   (1000 * sum(dl)) // count(*) AS avgdl_millis,
+                   {df_defs}
+            FROM pd
+        ),
+        s AS (
+            SELECT doc_id, CAST({term_scores} AS BIGINT) AS score_micros
+            FROM pd, g
+        )
+        SELECT doc_id, score_micros FROM s WHERE score_micros > 0
+        ORDER BY score_micros DESC, doc_id ASC LIMIT {KEYWORD_K}
+    """
 
 
 def _langid_sql() -> str:
@@ -1657,6 +1723,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(top_bigram_permille, 0) AS BIGINT) AS top_bigram_permille
             FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
         """,
+        "text_decontaminate": f"""
+            WITH bench AS (
+                SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS shingle
+                FROM (SELECT doc_id, {_TOKS} AS t FROM documents
+                      WHERE doc_id % {DECON_BENCH_MOD} = 0),
+                     unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+                WHERE len(t) >= 3
+            ),
+            corpus AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+                FROM (SELECT doc_id, {_TOKS} AS t FROM documents
+                      WHERE doc_id % {DECON_BENCH_MOD} <> 0),
+                     unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+                WHERE len(t) >= 3
+            ),
+            ov AS (
+                SELECT doc_id, count(*) AS overlap_ngrams
+                FROM corpus JOIN bench USING (shingle) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(ov.overlap_ngrams, 0) AS BIGINT) AS overlap_ngrams,
+                   coalesce(ov.overlap_ngrams, 0) >= {DECON_MIN_OVERLAP} AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % {DECON_BENCH_MOD} <> 0) d
+            LEFT JOIN ov USING (doc_id)
+        """,
+        "text_keyword_topk": _keyword_topk_sql(),
         "ann_dot_topk": f"""
             WITH q AS (SELECT {_QUANT} AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id, CAST(list_dot_product({_QUANT}, (SELECT qv FROM q)) AS BIGINT) AS dot

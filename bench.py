@@ -51,6 +51,8 @@ HEADLINE_QUERIES = [
     "dedup_minhash_cluster",
     "dedup_incremental",
     "dedup_chunks",
+    "text_decontaminate",
+    "text_keyword_topk",
     "dedup_embedding_lsh",
     "ann_dot_topk",
     "ann_cosine_topk",
@@ -96,7 +98,7 @@ def sat_fixture(sf: float) -> dict[str, str]:
     return paths
 
 
-def run_saturated(cpus: int, paths: dict[str, str], tag: str) -> dict:
+def run_saturated(cpus: int, paths: dict[str, str], tag: str, salt_lanes: int = 8) -> dict:
     """One saturated-frontier iteration at the given parallelism.
 
     The north-rule scaling regime: at a 10^10-URL frontier every iteration
@@ -119,7 +121,7 @@ def run_saturated(cpus: int, paths: dict[str, str], tag: str) -> dict:
         F.xxhash64("url").alias("seed_order"),
     )
     cfg = CrawlConfig(
-        iteration_seconds=200_000.0, salt_lanes=8, max_iterations=5,
+        iteration_seconds=200_000.0, salt_lanes=salt_lanes, max_iterations=5,
         # commit_files=None: a saturated iteration writes GBs — bounding file
         # count would funnel the write through a narrow shuffle for no reason
         commit_files=None, eager_checkpoints=True,

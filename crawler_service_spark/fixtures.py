@@ -77,10 +77,19 @@ class FixtureSpec:
     # deterministic word-salad: realistic Common-Crawl page sizes (tens of
     # KB) for throughput/scaling benchmarks. 0 = tiny pages (unit tests).
     pad_bytes: int = 0
+    # adversarial host skew: host 0 takes this share of all pages, the rest
+    # follow the usual Zipf tail (0.0 = plain Zipf). 0.5 is the mega-host
+    # regime the salted politeness window exists for (tools/skew_bench.py,
+    # BASELINE.md round-3 skew table).
+    mega_share: float = 0.0
 
 
-def _zipf_cdf(n_hosts: int, s: float = 1.1) -> np.ndarray:
+def _zipf_cdf(n_hosts: int, s: float = 1.1, mega_share: float = 0.0) -> np.ndarray:
     w = 1.0 / np.power(np.arange(1, n_hosts + 1), s)
+    if mega_share > 0.0:
+        w = w / w.sum() * (1.0 - mega_share)
+        w[0] = mega_share
+        return np.cumsum(w / w.sum())
     return np.cumsum(w / w.sum())
 
 
@@ -130,8 +139,10 @@ def generate_fixture(spec: FixtureSpec, out_dir: str) -> dict[str, str]:
     """
     os.makedirs(out_dir, exist_ok=True)
     pad_sfx = f"_{spec.pad_bytes}" if spec.pad_bytes else ""
+    skew_sfx = f"_m{spec.mega_share}" if spec.mega_share else ""
     marker = os.path.join(
-        out_dir, f"_SPEC_{spec.n_pages}_{spec.n_hosts}_{spec.n_seeds}_{spec.seed}{pad_sfx}"
+        out_dir,
+        f"_SPEC_{spec.n_pages}_{spec.n_hosts}_{spec.n_seeds}_{spec.seed}{pad_sfx}{skew_sfx}",
     )
     paths = {
         "pages": os.path.join(out_dir, "pages.parquet"),
@@ -141,7 +152,7 @@ def generate_fixture(spec: FixtureSpec, out_dir: str) -> dict[str, str]:
     if os.path.exists(marker):
         return paths
 
-    cdf = _zipf_cdf(spec.n_hosts)
+    cdf = _zipf_cdf(spec.n_hosts, mega_share=spec.mega_share)
     hosts = [host_of(i, spec, cdf) for i in range(spec.n_pages)]
     urls = [url_of(i, hosts[i], spec) for i in range(spec.n_pages)]
 

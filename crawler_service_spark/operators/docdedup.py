@@ -427,3 +427,44 @@ def minhash_incremental_dups(
             "jaccard_permille",
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing word n-grams with
+    an evaluation set (the standard pre-training hygiene pass — a train doc
+    that contains an eval question must not survive into the training mix).
+
+    Per corpus doc: ``overlap_ngrams`` = number of its DISTINCT n-gram
+    shingles that appear anywhere in the benchmark, ``contaminated`` =
+    overlap >= ``min_overlap``.
+
+    Scale shape: the benchmark's distinct-shingle set is tiny next to a
+    10^10-doc corpus (eval suites are thousands of items), so it broadcasts
+    — the corpus side is scanned once, shingled map-side, and aggregated on
+    the uniform doc_id key; the corpus never shuffles on shingle strings.
+    Zero-overlap docs come back via a left join against the doc spine (a
+    contaminated=false row per clean doc, not silence).
+    """
+    bench_sh = shingles(benchmark, n=n, text_col=text_col).select("shingle").distinct()
+    doc_sh = shingles(docs, n=n, text_col=text_col)
+    overlap = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("overlap_ngrams"))
+    )
+    return (
+        widen(docs)
+        .select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("overlap_ngrams"), F.lit(0)).cast("long").alias("overlap_ngrams"),
+            (F.coalesce(F.col("overlap_ngrams"), F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )

@@ -196,3 +196,74 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id", "top_unigram_permille",
         F.coalesce("top_bigram_permille", F.lit(0)).alias("top_bigram_permille"),
     )
+
+
+def keyword_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1_millis: int = 1200,
+    b_millis: int = 750,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25-shaped keyword top-k over the corpus, in exact integer arithmetic.
+
+    Classic BM25 with two deliberate integer substitutions so the score is
+    bit-identical in any engine (the cross-engine contract of this module —
+    float ln/div round-trips differ between Spark and DuckDB):
+
+    - idf surrogate: ``idf_micros = div(10^6 * (N - df + 1), df + 1)`` — the
+      rational core of the Robertson idf, monotone-decreasing in df, no log;
+    - millis-scaled length norm and saturation:
+      ``norm_millis  = (1000 - b) + div(b * dl * 1000, avgdl_millis)``
+      ``denom_millis = 1000*tf + div(k1 * norm_millis, 1000)``
+      ``tf_part_micros = div(10^6 * tf * (1000 + k1), denom_millis)``
+      ``score = sum_t div(idf_micros_t * tf_part_micros_t, 10^6)``
+      with k1/b carried in millis (defaults 1.2 / 0.75).
+
+    Scale shape: two corpus scans (one tiny global agg: N, avgdl, per-term
+    df — a single broadcast row), map-side scoring, TakeOrderedAndProject
+    top-k. No shuffle of the corpus, no per-row Python. Term tf/df use the
+    same token array as every other operator here, computed once per row.
+    """
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    per_doc = widen(docs).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            _count_occurrences(t, term).alias(f"tf_{i}")
+            for i, term in enumerate(query_terms)
+        ],
+    )
+    glob = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    ).select(
+        "n_docs",
+        F.expr("div(1000 * sum_dl, n_docs)").alias("avgdl_millis"),
+        *[F.col(f"df_{i}") for i in range(len(query_terms))],
+    )
+    scored = per_doc.crossJoin(F.broadcast(glob))
+    score = F.lit(0).cast("long")
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}")
+        term_score = F.when(
+            tf > 0,
+            F.expr(
+                f"div(div(1000000 * tf_{i} * {1000 + k1_millis}, "
+                f"1000 * tf_{i} + div({k1_millis} * ((1000 - {b_millis}) + div({b_millis} * dl * 1000, avgdl_millis)), 1000))"
+                f" * div(1000000 * (n_docs - df_{i} + 1), df_{i} + 1), 1000000)"
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+        score = score + term_score
+    return (
+        scored.select("doc_id", score.alias("score_micros"))
+        .filter(F.col("score_micros") > 0)
+        .orderBy(F.col("score_micros").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

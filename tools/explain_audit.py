@@ -69,6 +69,13 @@ CLAIMS = {
         (r"Window", "first-occurrence via per-hash window"),
         (r"row_number", "row_number, not full sort"),
     ],
+    "text_decontaminate": [
+        (r"BroadcastHashJoin", "eval-shingle set broadcasts; corpus never shuffles on shingle"),
+    ],
+    "text_keyword_topk": [
+        (r"TakeOrderedAndProject", "top-k without global sort"),
+        (r"BroadcastNestedLoopJoin|BroadcastHashJoin", "single global-stats row broadcast"),
+    ],
 }
 
 

@@ -1,0 +1,117 @@
+"""ANN recall curves — the published numbers behind the recall levers.
+
+VERDICT r2 item 8: tests/test_training_ops.py quantifies multi-probe and IVF
+recall as pass/fail assertions but records no curve. This tool runs the same
+planted-near-dup protocol at a larger panel and prints the recall-vs-lever
+tables that BASELINE.md "Measured (round 3)" publishes and the similarity.py
+docstrings cite:
+
+- multi-probe LSH (8 planes): planted-dup recall + mean candidate fraction at
+  Hamming probe radius 0 / 1 / 2;
+- IVF (16 lists): planted-dup recall + scanned fraction at n_probe 1/2/4/16
+  (n_probe == n_lists is exact by construction, asserted);
+- PQ ADC (8x16): planted-dup recall@10 of the compressed-domain scan.
+
+Protocol: 1000 random unit vectors + 100 planted near-dups (cos ~0.98-0.999,
+same generator as the test fixture, seed 7), 32 query vectors whose planted
+dup must appear in the ANN top-k (k=10). Deterministic; no external data.
+
+Usage: PYTHONPATH=/root/repo python tools/recall_bench.py   (one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from crawler_service_spark.operators import similarity
+from crawler_service_spark.session import get_spark
+
+N_BASE, N_DUP, DIM, K, N_QUERIES = 1000, 100, 32, 10, 32
+
+
+def panel(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((N_BASE, DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dups = base[:N_DUP] + 0.03 * rng.standard_normal((N_DUP, DIM))
+    dups /= np.linalg.norm(dups, axis=1, keepdims=True)
+    vecs = np.vstack([base, dups])
+    rows = [(i, [int(v) for v in np.round(row * 1000)]) for i, row in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, qv array<long>").repartition(8)
+
+
+def main() -> None:
+    spark = get_spark("recall-bench", cpus=8, shuffle_partitions=8)
+    df = panel(spark).cache()
+    n_total = df.count()
+    qvecs = {
+        int(r["vec_id"]): [int(v) for v in r["qv"]]
+        for r in df.filter(F.col("vec_id") < N_QUERIES).collect()
+    }
+    out = {"n_vectors": n_total, "k": K, "n_queries": N_QUERIES}
+
+    # multi-probe LSH: recall of the planted dup (vec q -> vec N_BASE+q)
+    lsh = {}
+    for radius in (0, 1, 2):
+        hits, cand = 0, 0
+        for q, qv in qvecs.items():
+            res = similarity.int_lsh_topk(df, qv, k=K, n_planes=8, probe_radius=radius)
+            ids = {int(r["vec_id"]) for r in res.collect()}
+            planes = similarity.int_planes(DIM, 8)
+            probes = similarity.probe_buckets_py(qv, planes, radius)
+            bucketed = df.withColumn(
+                "bucket", similarity.int_lsh_bucket_col(F.col("qv"), planes)
+            )
+            cand += bucketed.filter(F.col("bucket").isin(probes)).count()
+            if N_BASE + q in ids:
+                hits += 1
+        lsh[f"radius_{radius}"] = {
+            "recall": round(hits / N_QUERIES, 3),
+            "scan_frac": round(cand / (N_QUERIES * n_total), 4),
+        }
+    out["multiprobe_lsh_8planes"] = lsh
+
+    # IVF: n_probe sweep; n_probe == n_lists must equal exact
+    ivf = {}
+    for n_probe in (1, 2, 4, 16):
+        hits = 0
+        for q, qv in qvecs.items():
+            res = similarity.ivf_topk(df, qv, k=K, n_lists=16, n_probe=n_probe)
+            ids = {int(r["vec_id"]) for r in res.collect()}
+            if N_BASE + q in ids:
+                hits += 1
+        # scanned fraction is data-dependent per query only through the probe
+        # list; approximate with the mean list mass of one query's probes
+        ivf[f"probe_{n_probe}"] = {"recall": round(hits / N_QUERIES, 3),
+                                   "scan_frac": round(n_probe / 16, 4)}
+    exact5 = [(int(r["vec_id"]), int(r["cosine_micros"]))
+              for r in similarity.int_cosine_topk(df, qvecs[5], k=K).collect()]
+    full5 = [(int(r["vec_id"]), int(r["cosine_micros"]))
+             for r in similarity.ivf_topk(df, qvecs[5], k=K, n_lists=16, n_probe=16).collect()]
+    assert full5 == exact5, "IVF probe-all must be exact"
+    out["ivf_16lists"] = ivf
+
+    # PQ ADC scan: recall@K of the planted dup from compressed codes
+    cb = similarity.pq_codebook(df, n_subspaces=8, n_codes=16)
+    hits = 0
+    for q, qv in qvecs.items():
+        ids = {int(r["vec_id"]) for r in similarity.pq_topk(df, qv, cb, k=K).collect()}
+        if N_BASE + q in ids:
+            hits += 1
+    out["pq_adc_8x16"] = {"recall": round(hits / N_QUERIES, 3), "scan_frac": 1.0,
+                          "bytes_per_vec_vs_exact": f"8/{4 * DIM}"}
+
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

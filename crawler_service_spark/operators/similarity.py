@@ -504,6 +504,33 @@ def pq_encode_cols(
     return cols
 
 
+def pq_encode_udf(codebook: list[list[list[int]]]):
+    """Arrow-batched twin of ``pq_encode_cols``: one int64 matmul per
+    (batch, subspace) instead of M*K nested aggregate expressions per row.
+
+    Bit-identical contract: scores are exact int64 (-2 * X_m @ C_m^T + |c|^2;
+    inputs are ~1e3-magnitude ints, 16-dim dots stay < 2^35), and
+    ``np.argmin`` returns the FIRST minimum — the same ties-to-smaller-k rule
+    as the array_min struct ordering in the JVM version (equality asserted in
+    tests). Returns one array<int> of M codes per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    subs = [np.asarray(words, dtype=np.int64) for words in codebook]
+    norms = [np.sum(w * w, axis=1) for w in subs]
+    sub = subs[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def enc(qv: pd.Series) -> pd.Series:
+        x = np.asarray(qv.tolist(), dtype=np.int64)
+        codes = np.empty((len(x), len(subs)), dtype=np.int32)
+        for m, w in enumerate(subs):
+            scores = -2 * (x[:, m * sub : (m + 1) * sub] @ w.T) + norms[m][None, :]
+            codes[:, m] = np.argmin(scores, axis=1)
+        return pd.Series(list(codes))
+
+    return enc
+
+
 def pq_topk(
     quantized: DataFrame,
     qvec: list[int],
@@ -517,19 +544,23 @@ def pq_topk(
     sum_m LUT[m][code_m(x)] — the compressed-domain scan that never touches
     the full vectors. Output (vec_id, approx_dot), ties to smaller id.
 
-    Plan shape: project + TakeOrderedAndProject; ZERO shuffles. At 10^10
-    vectors the scan reads M-byte codes instead of 4*dim-byte vectors —
-    the 32x scan-compression lever the ANN family was missing."""
+    Plan shape: Arrow-batch encode (pq_encode_udf — map-side, one matmul per
+    batch) + JVM LUT projection + TakeOrderedAndProject; ZERO shuffles. At
+    10^10 vectors the scan reads M-byte codes instead of 4*dim-byte vectors —
+    the 32x scan-compression lever the ANN family was missing. (The all-JVM
+    encode ``pq_encode_cols`` is kept as the expression-level reference; its
+    M*K nested aggregates are ~20x slower than the batch matmul at sf0.1.)"""
     sub = len(codebook[0][0])
     lut = [
         [sum(a * b for a, b in zip(qvec[m * sub : (m + 1) * sub], w)) for w in words]
         for m, words in enumerate(codebook)
     ]
-    codes = quantized.select(id_col, *pq_encode_cols(codebook, qv_col=qv_col))
+    codes = quantized.select(id_col, pq_encode_udf(codebook)(F.col(qv_col)).alias("codes"))
     score = sum(
         (
             F.element_at(
-                F.array(*[F.lit(v) for v in lut[m]]), F.col(f"code_{m}") + 1
+                F.array(*[F.lit(v) for v in lut[m]]),
+                F.element_at(F.col("codes"), m + 1) + 1,
             )
             for m in range(len(codebook))
         ),

@@ -346,6 +346,20 @@ def test_pq_codebook_vectors_reconstruct_exactly(spark, planted_embeddings):
     for vid, cs in codes.items():
         assert cs == [vid] * 8, f"codeword {vid} must self-encode, got {cs}"
 
+    # the Arrow-batch encoder must agree with the JVM expression encoder on
+    # every vector (same int64 scores, same first-min tie rule)
+    fast = {
+        r["vec_id"]: list(r["codes"])
+        for r in df.select(
+            "vec_id", similarity.pq_encode_udf(cb)(F.col("qv")).alias("codes")
+        ).collect()
+    }
+    slow = {
+        r["vec_id"]: [r[f"code_{m}"] for m in range(8)]
+        for r in df.select("vec_id", *similarity.pq_encode_cols(cb)).collect()
+    }
+    assert fast == slow, "pandas and JVM PQ encoders must be bit-identical"
+
     top = similarity.pq_topk(df, qvec, cb, k=10).collect()
     rows = {r["vec_id"]: r["approx_dot"] for r in top}
     exact_self = sum(a * b for a, b in zip(qvec, qvec))

@@ -2,5 +2,6 @@ from .ingest import ingest_seed_stream, read_seed_sink
 from .stateful import budget_gate_stream, read_gated_sink
 from .windowed import run_windowed_metrics_stream, windowed_fetch_metrics
 from .dedup import dedup_stream, read_deduped
+from .sessions import run_session_stream, session_rollup_stream
 
-__all__ = ["ingest_seed_stream", "read_seed_sink", "budget_gate_stream", "read_gated_sink", "run_windowed_metrics_stream", "windowed_fetch_metrics", "dedup_stream", "read_deduped"]
+__all__ = ["ingest_seed_stream", "read_seed_sink", "budget_gate_stream", "read_gated_sink", "run_windowed_metrics_stream", "windowed_fetch_metrics", "dedup_stream", "read_deduped", "run_session_stream", "session_rollup_stream"]

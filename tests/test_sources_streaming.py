@@ -186,3 +186,50 @@ def test_streaming_dedup_first_occurrence_across_runs(spark, tmp_path):
     rows = read_deduped(spark, sink).collect()
     assert {r["doc_id"] for r in rows} == {3, 7, 2}
     assert len(rows) == 3  # exactly-once: no duplicate emissions
+
+
+def test_streaming_sessionization_gap_merge_and_close(spark, tmp_path):
+    """Native session_window: events within the gap merge into one session,
+    a gap splits, and a session only emits once the watermark passes its
+    possible extension; merged-session end = last event + gap."""
+    from datetime import datetime
+
+    from crawler_service_spark.streaming import run_session_stream
+
+    ev_dir = str(tmp_path / "sev")
+    sink = str(tmp_path / "ssink")
+    ckpt = str(tmp_path / "sckpt")
+    os.makedirs(ev_dir)
+    t = lambda h, m=0: datetime(2026, 1, 1, h, m)
+
+    def drop(rows):
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(ev_dir)
+
+    # user 1: events at 10:00/10:10/10:25 (one session, 10-15m gaps < 30m),
+    # then 12:00 (new session). The 20:00 event pushes the watermark far
+    # ahead (19:00) so everything before closes.
+    drop([
+        (1, 1, t(10, 0)), (1, 2, t(10, 10)), (1, 3, t(10, 25)),
+        (1, 4, t(12, 0)),
+        (2, 9, t(20, 0)),
+    ])
+    run_session_stream(spark, ev_dir, sink, ckpt, gap="30 minutes", watermark="1 hour")
+    rows = {
+        (r["user_id"], r["session_start"].hour, r["session_start"].minute): r
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert (1, 10, 0) in rows and rows[(1, 10, 0)]["n_events"] == 3
+    assert rows[(1, 10, 0)]["session_end"] == t(10, 55), "end = last event + gap"
+    assert (1, 12, 0) in rows and rows[(1, 12, 0)]["n_events"] == 1
+    assert (2, 20, 0) not in rows, "user 2's session is still open"
+
+    # restart: user 2's open session extends within the gap, then a far
+    # event closes it; the already-emitted sessions must not re-emit
+    drop([(2, 10, t(20, 20)), (2, 11, t(23, 0))])
+    run_session_stream(spark, ev_dir, sink, ckpt, gap="30 minutes", watermark="1 hour")
+    rows2 = spark.read.parquet(sink).collect()
+    u2 = [r for r in rows2 if r["user_id"] == 2 and r["session_start"] == t(20, 0)]
+    assert len(u2) == 1 and u2[0]["n_events"] == 2, "extended across restart, emitted once"
+    assert len([r for r in rows2 if r["user_id"] == 1]) == 2, "no duplicate emissions"

@@ -32,7 +32,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from crawler_service_spark.functions.urls import ext_class_col, extension_col
-from crawler_service_spark.operators import docdedup, grouping, multimodal, sessions, similarity, textquality
+from crawler_service_spark.operators import (
+    docdedup,
+    grouping,
+    multimodal,
+    sampling,
+    sessions,
+    similarity,
+    textquality,
+)
 from crawler_service_spark.operators.graph import connected_components
 
 SF001 = "/root/testdata/sf0.001"
@@ -586,6 +594,21 @@ def _text_token_count(spark, sf):
     return d.select("doc_id", textquality.token_count_col("text").cast("long").alias("token_count"))
 
 
+SAMPLE_RATES = {"en": 700, "de": 400, "fr": 250, "es": 250, "zh": 100}
+SAMPLE_DEFAULT = 50
+SAMPLE_SALT = "mix1"
+
+
+def _pipeline_sample_mix(spark, sf):
+    """Training-mix stratified sampling: per-language hash-sampling rates,
+    membership a pure function of doc_id (partition-invariant, no shuffle)."""
+    d = _t(spark, sf, "documents")
+    return sampling.stratified_sample(
+        d, SAMPLE_RATES, strata_col="lang",
+        default_permille=SAMPLE_DEFAULT, salt=SAMPLE_SALT,
+    ).select("doc_id", "lang", "source")
+
+
 DECON_MIN_OVERLAP = 3
 DECON_BENCH_MOD = 17  # doc_id % 17 == 0 plays the held-out eval set
 
@@ -811,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _text_repetition,
         "text_decontaminate": _text_decontaminate,
         "text_keyword_topk": _text_keyword_topk,
+        "pipeline_sample_mix": _pipeline_sample_mix,
         "ann_dot_topk": _ann_dot_topk,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -1749,6 +1773,12 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ov USING (doc_id)
         """,
         "text_keyword_topk": _keyword_topk_sql(),
+        "pipeline_sample_mix": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':{SAMPLE_SALT}'), 1, 8))::BIGINT % 1000
+                  < CASE {' '.join(f"WHEN lang = '{s}' THEN {r}" for s, r in sorted(SAMPLE_RATES.items()))}
+                         ELSE {SAMPLE_DEFAULT} END
+        """,
         "ann_dot_topk": f"""
             WITH q AS (SELECT {_QUANT} AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id, CAST(list_dot_product({_QUANT}, (SELECT qv FROM q)) AS BIGINT) AS dot

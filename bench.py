@@ -53,6 +53,8 @@ HEADLINE_QUERIES = [
     "dedup_chunks",
     "text_decontaminate",
     "text_keyword_topk",
+    "pipeline_sample_mix",
+    "sessionize_events",
     "dedup_embedding_lsh",
     "ann_dot_topk",
     "ann_cosine_topk",

@@ -76,6 +76,9 @@ CLAIMS = {
         (r"TakeOrderedAndProject", "top-k without global sort"),
         (r"BroadcastNestedLoopJoin|BroadcastHashJoin", "single global-stats row broadcast"),
     ],
+    "sessionize_events": [
+        (r"Window", "lag/sum windows share one user_id shuffle"),
+    ],
 }
 
 

@@ -368,6 +368,7 @@ def minhash_incremental_dups(
     n: int = 3,
     threshold_permille: int = 300,
     text_col: str = "text",
+    index_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup: flag docs in a NEW batch that near-duplicate a doc
     already in the INDEX corpus — the shape every rolling 100 TB ingest needs
@@ -375,8 +376,10 @@ def minhash_incremental_dups(
     the corpus to itself).
 
     The index side's ``minhash_buckets`` frame is exactly what a deployment
-    persists between runs; only the new batch's signatures are computed fresh,
-    and the candidate join touches index buckets matching a new-batch key.
+    persists between runs — pass it as ``index_buckets`` to skip recomputing
+    signatures over the standing corpus (streaming/neardup.py does); only the
+    new batch's signatures are computed fresh, and the candidate join touches
+    index buckets matching a new-batch key.
     Verification (true Jaccard) runs only over candidates. Output: one row per
     duplicated new doc — (doc_id, dup_of, jaccard_permille), best match by
     (jaccard desc, dup_of asc).
@@ -384,17 +387,26 @@ def minhash_incremental_dups(
     from pyspark.sql import Window
 
     bn = minhash_buckets(new_docs, num_hashes=num_hashes, bands=bands, n=n, text_col=text_col)
-    bi = minhash_buckets(index_docs, num_hashes=num_hashes, bands=bands, n=n, text_col=text_col)
+    if index_buckets is None:
+        index_buckets = minhash_buckets(
+            index_docs, num_hashes=num_hashes, bands=bands, n=n, text_col=text_col
+        )
     cand = (
         bn.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-        .join(bi.select(F.col("doc_id").alias("doc_b"), "band", "sig"), ["band", "sig"])
+        .join(index_buckets.select(F.col("doc_id").alias("doc_b"), "band", "sig"), ["band", "sig"])
         .select("doc_a", "doc_b")
         .distinct()
     )
     sh_a = shingles(new_docs, n=n, text_col=text_col).select(
         F.col("doc_id").alias("doc_a"), "shingle"
     )
-    sh_b = shingles(index_docs, n=n, text_col=text_col).select(
+    # shingle ONLY the index docs that are candidates: at a 10^10-doc standing
+    # corpus the verify stage must touch candidate rows, never re-tokenize the
+    # whole index per batch
+    cand_index_docs = index_docs.join(
+        cand.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "semi"
+    )
+    sh_b = shingles(cand_index_docs, n=n, text_col=text_col).select(
         F.col("doc_id").alias("doc_b"), "shingle"
     )
     sizes_a = sh_a.groupBy("doc_a").agg(F.count("*").alias("size_a"))

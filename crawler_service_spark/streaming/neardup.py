@@ -1,0 +1,106 @@
+"""Rolling near-dup dedup: each micro-batch deduped against a PERSISTED
+minhash index — the streaming form of ``docdedup.minhash_incremental_dups``
+(the shape a nightly 100 TB ingest runs: dedupe tonight's crawl against the
+standing corpus without recomparing the corpus to itself; SURVEY.md §2.10).
+
+Per micro-batch, inside ``foreachBatch``:
+
+1. join the batch's fresh minhash band-buckets against the persisted bucket
+   index (equi-join on (band, sig) — touches only matching index buckets);
+2. Jaccard-verify candidates, shingling ONLY the candidate index docs
+   (semi-join pushdown, never the whole corpus);
+3. write flagged dups to the dup sink; append the batch's NON-dup docs and
+   their buckets to the index.
+
+Exactly-once: the streaming checkpoint dedupes input files, and every write
+lands in a ``batch-<id>`` subdir overwritten on replay (same idempotency
+scheme as streaming/ingest.py) — a crashed/replayed batch converges to the
+identical index and dup set (restart-tested).
+
+State growth is the index itself (parquet, partition-pruned by the bucket
+join), not executor memory — unlike the exact-dedup state store, the
+near-dup index is shared, queryable, and compactable offline.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import docdedup
+
+DOC_SCHEMA = "doc_id long, text string"
+_EMPTY_BUCKETS = "doc_id long, band int, sig string"
+DUP_SCHEMA = "doc_id long, dup_of long, jaccard_permille long"
+
+
+def _read_batches(
+    spark: SparkSession, base: str, schema: str, exclude_id: int | None = None
+) -> DataFrame:
+    """Union of ``batch-*`` subdirs, EXCLUDING the current batch's own subdir:
+    a crashed-then-replayed batch must not see its previous partial append in
+    the index, or every doc would flag as a dup of itself."""
+    parts = sorted(
+        os.path.join(base, d)
+        for d in (os.listdir(base) if os.path.isdir(base) else [])
+        if d.startswith("batch-") and d != f"batch-{exclude_id}"
+    )
+    if not parts:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*parts)
+
+
+def neardup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    index_dir: str,
+    dups_dir: str,
+    checkpoint_dir: str,
+    threshold_permille: int = 300,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> None:
+    """Drain available doc files through the rolling index-dedup gate."""
+    docs_idx = os.path.join(index_dir, "docs")
+    buckets_idx = os.path.join(index_dir, "buckets")
+    for d in (docs_idx, buckets_idx, dups_dir):
+        os.makedirs(d, exist_ok=True)
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        index_docs = _read_batches(spark, docs_idx, DOC_SCHEMA, exclude_id=batch_id)
+        index_buckets = _read_batches(
+            spark, buckets_idx, _EMPTY_BUCKETS, exclude_id=batch_id
+        )
+        dups = docdedup.minhash_incremental_dups(
+            batch, index_docs,
+            num_hashes=num_hashes, bands=bands, n=n,
+            threshold_permille=threshold_permille,
+            index_buckets=index_buckets,
+        ).localCheckpoint()  # pin before the index append mutates its input dirs
+        admitted = batch.join(dups.select("doc_id"), "doc_id", "anti").localCheckpoint()
+        dups.write.mode("overwrite").parquet(os.path.join(dups_dir, f"batch-{batch_id}"))
+        admitted.write.mode("overwrite").parquet(os.path.join(docs_idx, f"batch-{batch_id}"))
+        docdedup.minhash_buckets(
+            admitted, num_hashes=num_hashes, bands=bands, n=n
+        ).write.mode("overwrite").parquet(os.path.join(buckets_idx, f"batch-{batch_id}"))
+
+    q = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_dups(spark: SparkSession, dups_dir: str) -> DataFrame:
+    return _read_batches(spark, dups_dir, DUP_SCHEMA)
+
+
+def read_index_docs(spark: SparkSession, index_dir: str) -> DataFrame:
+    return _read_batches(spark, os.path.join(index_dir, "docs"), DOC_SCHEMA)

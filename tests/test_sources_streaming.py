@@ -233,3 +233,42 @@ def test_streaming_sessionization_gap_merge_and_close(spark, tmp_path):
     u2 = [r for r in rows2 if r["user_id"] == 2 and r["session_start"] == t(20, 0)]
     assert len(u2) == 1 and u2[0]["n_events"] == 2, "extended across restart, emitted once"
     assert len([r for r in rows2 if r["user_id"] == 1]) == 2, "no duplicate emissions"
+
+
+def test_streaming_neardup_rolling_index(spark, tmp_path):
+    """Rolling minhash-index dedup: a later batch's near-dup of an ALREADY
+    ADMITTED doc is flagged and kept out of the index; unrelated docs are
+    admitted; the index accumulates across separate runs (restarts)."""
+    from crawler_service_spark.streaming import neardup_stream, read_dups, read_index_docs
+
+    in_dir = str(tmp_path / "nd_docs")
+    idx = str(tmp_path / "nd_index")
+    dups = str(tmp_path / "nd_dups")
+    ckpt = str(tmp_path / "nd_ckpt")
+    os.makedirs(in_dir)
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+    def drop(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    # batch 1: two distinct docs
+    drop([(1, base), (2, "completely different text about spark shuffle joins and windows")])
+    neardup_stream(spark, in_dir, idx, dups, ckpt)
+    assert read_dups(spark, dups).count() == 0
+    assert {r["doc_id"] for r in read_index_docs(spark, idx).collect()} == {1, 2}
+
+    # batch 2 (separate run = restart): near-dup of doc 1 + a fresh doc
+    drop([(10, base + " extra"), (11, "yet another unrelated document body entirely")])
+    neardup_stream(spark, in_dir, idx, dups, ckpt)
+    d = {(r["doc_id"], r["dup_of"]) for r in read_dups(spark, dups).collect()}
+    assert d == {(10, 1)}, f"near-dup of admitted doc must flag, got {d}"
+    assert {r["doc_id"] for r in read_index_docs(spark, idx).collect()} == {1, 2, 11}
+
+    # batch 3: near-dup of batch-2's ADMITTED doc 11 (not the flagged 10)
+    drop([(20, "yet another unrelated document body entirely ok")])
+    neardup_stream(spark, in_dir, idx, dups, ckpt)
+    d3 = {(r["doc_id"], r["dup_of"]) for r in read_dups(spark, dups).collect()}
+    assert (20, 11) in d3 and len(d3) == 2
+    assert {r["doc_id"] for r in read_index_docs(spark, idx).collect()} == {1, 2, 11}

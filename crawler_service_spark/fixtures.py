@@ -87,6 +87,10 @@ class FixtureSpec:
 def _zipf_cdf(n_hosts: int, s: float = 1.1, mega_share: float = 0.0) -> np.ndarray:
     w = 1.0 / np.power(np.arange(1, n_hosts + 1), s)
     if mega_share > 0.0:
+        # host 0 gets EXACTLY mega_share: zero its Zipf weight first, scale
+        # the remaining tail to 1-mega_share (leaving w[0]'s original weight
+        # in the tail sum skewed host 0 to ~0.56 for a requested 0.5)
+        w[0] = 0.0
         w = w / w.sum() * (1.0 - mega_share)
         w[0] = mega_share
         return np.cumsum(w / w.sum())
@@ -139,7 +143,8 @@ def generate_fixture(spec: FixtureSpec, out_dir: str) -> dict[str, str]:
     """
     os.makedirs(out_dir, exist_ok=True)
     pad_sfx = f"_{spec.pad_bytes}" if spec.pad_bytes else ""
-    skew_sfx = f"_m{spec.mega_share}" if spec.mega_share else ""
+    # v2: exact-share weight formula (host 0 zeroed before tail scaling)
+    skew_sfx = f"_m{spec.mega_share}v2" if spec.mega_share else ""
     marker = os.path.join(
         out_dir,
         f"_SPEC_{spec.n_pages}_{spec.n_hosts}_{spec.n_seeds}_{spec.seed}{pad_sfx}{skew_sfx}",

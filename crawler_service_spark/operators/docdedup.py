@@ -447,6 +447,7 @@ def decontaminate(
     n: int = 3,
     min_overlap: int = 5,
     text_col: str = "text",
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing word n-grams with
     an evaluation set (the standard pre-training hygiene pass — a train doc
@@ -456,17 +457,22 @@ def decontaminate(
     shingles that appear anywhere in the benchmark, ``contaminated`` =
     overlap >= ``min_overlap``.
 
-    Scale shape: the benchmark's distinct-shingle set is tiny next to a
-    10^10-doc corpus (eval suites are thousands of items), so it broadcasts
-    — the corpus side is scanned once, shingled map-side, and aggregated on
-    the uniform doc_id key; the corpus never shuffles on shingle strings.
+    Scale shape: an eval suite's distinct-shingle set is tiny next to a
+    10^10-doc corpus (thousands of items), so by default it broadcasts — the
+    corpus side is scanned once, shingled map-side, and aggregated on the
+    uniform doc_id key; the corpus never shuffles on shingle strings. Pass
+    ``broadcast_benchmark=False`` when the "benchmark" side is itself a large
+    corpus slice (the unconditional hint would otherwise hit the broadcast
+    size limit instead of degrading to a shuffle join).
     Zero-overlap docs come back via a left join against the doc spine (a
     contaminated=false row per clean doc, not silence).
     """
     bench_sh = shingles(benchmark, n=n, text_col=text_col).select("shingle").distinct()
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
     doc_sh = shingles(docs, n=n, text_col=text_col)
     overlap = (
-        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        doc_sh.join(bench_sh, "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").alias("overlap_ngrams"))
     )

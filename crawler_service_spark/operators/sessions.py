@@ -32,9 +32,11 @@ def sessionize(
     gap_seconds: int = 1800,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    order_col: str = "event_id",
 ) -> DataFrame:
-    """events + ``session_id`` (1-based per user, ordered by (ts, event_id))."""
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    """events + ``session_id`` (1-based per user, ordered by (ts, order_col);
+    ``order_col`` is the deterministic tie-breaker for equal timestamps)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
     gap = _epoch(ts_col) - F.lag(_epoch(ts_col)).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return events.withColumn(
@@ -48,10 +50,14 @@ def session_rollup(
     gap_seconds: int = 1800,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    order_col: str = "event_id",
 ) -> DataFrame:
     """One row per session: (user_id, session_id, n_events, start/end epoch,
     duration_s)."""
-    s = sessionize(events, gap_seconds=gap_seconds, user_col=user_col, ts_col=ts_col)
+    s = sessionize(
+        events, gap_seconds=gap_seconds, user_col=user_col, ts_col=ts_col,
+        order_col=order_col,
+    )
     return (
         s.groupBy(user_col, "session_id")
         .agg(

@@ -519,14 +519,27 @@ def pq_encode_udf(codebook: list[list[list[int]]]):
     norms = [np.sum(w * w, axis=1) for w in subs]
     sub = subs[0].shape[1]
 
+    dim = sub * len(subs)
+
     @pandas_udf("array<int>")
     def enc(qv: pd.Series) -> pd.Series:
-        x = np.asarray(qv.tolist(), dtype=np.int64)
-        codes = np.empty((len(x), len(subs)), dtype=np.int32)
-        for m, w in enumerate(subs):
-            scores = -2 * (x[:, m * sub : (m + 1) * sub] @ w.T) + norms[m][None, :]
-            codes[:, m] = np.argmin(scores, axis=1)
-        return pd.Series(list(codes))
+        rows = qv.tolist()
+        # null/ragged rows encode to None (the JVM expression encoder yields
+        # null codes there; a dirty embedding row must not kill the task)
+        valid = [
+            i for i, r in enumerate(rows)
+            if r is not None and len(r) == dim and not any(v is None for v in r)
+        ]
+        out: list = [None] * len(rows)
+        if valid:
+            x = np.asarray([rows[i] for i in valid], dtype=np.int64)
+            codes = np.empty((len(valid), len(subs)), dtype=np.int32)
+            for m, w in enumerate(subs):
+                scores = -2 * (x[:, m * sub : (m + 1) * sub] @ w.T) + norms[m][None, :]
+                codes[:, m] = np.argmin(scores, axis=1)
+            for j, i in enumerate(valid):
+                out[i] = codes[j]
+        return pd.Series(out)
 
     return enc
 

@@ -35,10 +35,10 @@ def read_pages(
 def scan_report(df: DataFrame) -> dict:
     """Inspect the physical plan of a scan: which columns are actually read
     (ReadSchema) and which predicates reached the source (PushedFilters)."""
+    from ..plans.bucketing import plan_string
+
     plan = df._jdf.queryExecution().executedPlan().toString()
-    explain = df._jdf.queryExecution().explainString(
-        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+    explain = plan_string(df)
     read_schema = ""
     pushed = ""
     for line in explain.splitlines():

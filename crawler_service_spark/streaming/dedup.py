@@ -37,9 +37,9 @@ STATE_SCHEMA = "keeper long"
 def _first_only(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if state.exists:
-        # hash already admitted in an earlier micro-batch: emit nothing,
-        # keep the original keeper
-        state.update((state.get[0],))
+        # hash already admitted in an earlier micro-batch: emit nothing; the
+        # existing state persists untouched (no redundant state-store write
+        # on the hot re-seen path)
         return
     if chunks:
         allrows = pd.concat(chunks, ignore_index=True)

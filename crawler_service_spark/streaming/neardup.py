@@ -9,7 +9,10 @@ Per micro-batch, inside ``foreachBatch``:
    index (equi-join on (band, sig) — touches only matching index buckets);
 2. Jaccard-verify candidates, shingling ONLY the candidate index docs
    (semi-join pushdown, never the whole corpus);
-3. write flagged dups to the dup sink; append the batch's NON-dup docs and
+3. flag intra-batch near-dups too (first-occurrence by doc_id, verified
+   pairs within the batch) so a batch carrying both copies of a page never
+   seeds the index with a near-dup pair;
+4. write flagged dups to the dup sink; append the batch's NON-dup docs and
    their buckets to the index.
 
 Exactly-once: the streaming checkpoint dedupes input files, and every write
@@ -70,16 +73,50 @@ def neardup_stream(
         os.makedirs(d, exist_ok=True)
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
         index_docs = _read_batches(spark, docs_idx, DOC_SCHEMA, exclude_id=batch_id)
         index_buckets = _read_batches(
             spark, buckets_idx, _EMPTY_BUCKETS, exclude_id=batch_id
         )
-        dups = docdedup.minhash_incremental_dups(
+        vs_index = docdedup.minhash_incremental_dups(
             batch, index_docs,
             num_hashes=num_hashes, bands=bands, n=n,
             threshold_permille=threshold_permille,
             index_buckets=index_buckets,
-        ).localCheckpoint()  # pin before the index append mutates its input dirs
+        )
+        # intra-batch near-dups (a nightly ingest routinely contains them):
+        # first-occurrence rule — a doc duplicating a SMALLER-id batch doc is
+        # flagged too, so the standing index never admits a near-dup pair.
+        # dup_of may itself be a flagged doc in an a<b<c chain (documented
+        # union-find simplification; the canonical keeper lives in
+        # docdedup.minhash_dup_clusters for offline resolution).
+        pairs = docdedup.minhash_verified_pairs(
+            batch, num_hashes=num_hashes, bands=bands, n=n,
+            threshold_permille=threshold_permille,
+        )
+        wb = Window.partitionBy("doc_b").orderBy(
+            F.desc("jaccard_permille"), F.asc("doc_a")
+        )
+        intra = (
+            pairs.withColumn("__rn", F.row_number().over(wb))
+            .filter(F.col("__rn") == 1)
+            .select(
+                F.col("doc_b").alias("doc_id"),
+                F.col("doc_a").alias("dup_of"),
+                "jaccard_permille",
+            )
+        )
+        wd = Window.partitionBy("doc_id").orderBy(
+            F.desc("jaccard_permille"), F.asc("dup_of")
+        )
+        dups = (
+            vs_index.unionByName(intra)
+            .withColumn("__rn", F.row_number().over(wd))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint()  # pin before the index append mutates its input dirs
+        )
         admitted = batch.join(dups.select("doc_id"), "doc_id", "anti").localCheckpoint()
         dups.write.mode("overwrite").parquet(os.path.join(dups_dir, f"batch-{batch_id}"))
         admitted.write.mode("overwrite").parquet(os.path.join(docs_idx, f"batch-{batch_id}"))

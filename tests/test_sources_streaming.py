@@ -253,22 +253,27 @@ def test_streaming_neardup_rolling_index(spark, tmp_path):
             "append"
         ).parquet(in_dir)
 
-    # batch 1: two distinct docs
-    drop([(1, base), (2, "completely different text about spark shuffle joins and windows")])
+    # batch 1: two distinct docs + an INTRA-batch near-dup of doc 1
+    drop([
+        (1, base),
+        (2, "completely different text about spark shuffle joins and windows"),
+        (3, base + " word"),
+    ])
     neardup_stream(spark, in_dir, idx, dups, ckpt)
-    assert read_dups(spark, dups).count() == 0
+    d1 = {(r["doc_id"], r["dup_of"]) for r in read_dups(spark, dups).collect()}
+    assert d1 == {(3, 1)}, f"intra-batch near-dup must flag, got {d1}"
     assert {r["doc_id"] for r in read_index_docs(spark, idx).collect()} == {1, 2}
 
     # batch 2 (separate run = restart): near-dup of doc 1 + a fresh doc
     drop([(10, base + " extra"), (11, "yet another unrelated document body entirely")])
     neardup_stream(spark, in_dir, idx, dups, ckpt)
     d = {(r["doc_id"], r["dup_of"]) for r in read_dups(spark, dups).collect()}
-    assert d == {(10, 1)}, f"near-dup of admitted doc must flag, got {d}"
+    assert d == {(3, 1), (10, 1)}, f"near-dup of admitted doc must flag, got {d}"
     assert {r["doc_id"] for r in read_index_docs(spark, idx).collect()} == {1, 2, 11}
 
     # batch 3: near-dup of batch-2's ADMITTED doc 11 (not the flagged 10)
     drop([(20, "yet another unrelated document body entirely ok")])
     neardup_stream(spark, in_dir, idx, dups, ckpt)
     d3 = {(r["doc_id"], r["dup_of"]) for r in read_dups(spark, dups).collect()}
-    assert (20, 11) in d3 and len(d3) == 2
+    assert (20, 11) in d3 and len(d3) == 3
     assert {r["doc_id"] for r in read_index_docs(spark, idx).collect()} == {1, 2, 11}

@@ -58,19 +58,24 @@ def main() -> None:
     }
     out = {"n_vectors": n_total, "k": K, "n_queries": N_QUERIES}
 
-    # multi-probe LSH: recall of the planted dup (vec q -> vec N_BASE+q)
+    # multi-probe LSH: recall of the planted dup (vec q -> vec N_BASE+q).
+    # planes are radius-invariant and the per-bucket histogram is computed
+    # ONCE — candidate counts are dict lookups, not a corpus scan per query.
+    planes = similarity.int_planes(DIM, 8)
+    bucket_counts = {
+        int(r["bucket"]): int(r["count"])
+        for r in df.withColumn(
+            "bucket", similarity.int_lsh_bucket_col(F.col("qv"), planes)
+        ).groupBy("bucket").count().collect()
+    }
     lsh = {}
     for radius in (0, 1, 2):
         hits, cand = 0, 0
         for q, qv in qvecs.items():
             res = similarity.int_lsh_topk(df, qv, k=K, n_planes=8, probe_radius=radius)
             ids = {int(r["vec_id"]) for r in res.collect()}
-            planes = similarity.int_planes(DIM, 8)
             probes = similarity.probe_buckets_py(qv, planes, radius)
-            bucketed = df.withColumn(
-                "bucket", similarity.int_lsh_bucket_col(F.col("qv"), planes)
-            )
-            cand += bucketed.filter(F.col("bucket").isin(probes)).count()
+            cand += sum(bucket_counts.get(b, 0) for b in probes)
             if N_BASE + q in ids:
                 hits += 1
         lsh[f"radius_{radius}"] = {

@@ -62,24 +62,35 @@ def run_cell(cpus: int, lanes: int) -> dict:
     from pyspark.sql import functions as F
 
     spark = get_spark(f"skew-{cpus}-{lanes}", cpus=cpus, shuffle_partitions=cpus)
+    # materialize frontier AND budgets once, untimed: the measured quantity
+    # is the scheduler, not the synthetic-fixture generator (a lazy distinct
+    # over the 8M-row frame would otherwise re-run inside every timed rep)
     budgets = (
-        pending_frame(spark)
-        .select("host")
-        .distinct()
+        spark.range(N_SMALL_HOSTS)
+        .select(
+            F.concat(
+                F.lit("host"), F.lpad(F.col("id").cast("string"), 3, "0"), F.lit(".example")
+            ).alias("host")
+        )
+        .union(spark.range(1).select(F.lit("mega000.example").alias("host")))
         .withColumn("host_budget", F.lit(HOST_BUDGET))
+        .cache()
     )
-    # materialize the frontier once, untimed: the measured quantity is the
-    # scheduler, not the synthetic-fixture generator
+    budgets.count()
     pending = pending_frame(spark).cache()
     pending.count()
     best = None
-    picked_n = None
+    picked_n = picked_sum = None
     for _ in range(REPS):
         t0 = time.monotonic()
-        picked_n = politeness.schedule(
+        picked = politeness.schedule(
             pending, budgets, iteration_seconds=1.0, salt_lanes=lanes
-        ).count()
+        )
+        row = picked.agg(
+            F.count("*").alias("n"), F.bit_xor("url_hash").alias("chk")
+        ).collect()[0]
         wall = time.monotonic() - t0
+        picked_n, picked_sum = int(row["n"]), int(row["chk"])
         best = wall if best is None else min(best, wall)
     spark.stop()
     return {
@@ -88,6 +99,7 @@ def run_cell(cpus: int, lanes: int) -> dict:
         "wall_sec": round(best, 2),
         "pending_per_sec": round(N_PENDING / best, 1),
         "picked": picked_n,
+        "picked_checksum": picked_sum,
     }
 
 
@@ -104,7 +116,9 @@ def main() -> None:
             (hi["pending_per_sec"] / lo["pending_per_sec"]) / 4.0, 3
         )
     # invariance: salting must not change WHAT is picked, only how it's found
+    # (row-set checksum, not just cardinality)
     assert cells["lanes1_n2"]["picked"] == cells["lanes8_n2"]["picked"]
+    assert cells["lanes1_n2"]["picked_checksum"] == cells["lanes8_n2"]["picked_checksum"]
     print(json.dumps({
         "n_pending": N_PENDING,
         "mega_share": 0.5,

@@ -3,6 +3,6 @@ from .stateful import budget_gate_stream, read_gated_sink
 from .windowed import run_windowed_metrics_stream, windowed_fetch_metrics
 from .dedup import dedup_stream, read_deduped
 from .sessions import run_session_stream, session_rollup_stream
-from .neardup import neardup_stream, read_dups, read_index_docs
+from .neardup import compact_index, neardup_stream, read_dups, read_index_docs
 
-__all__ = ["ingest_seed_stream", "read_seed_sink", "budget_gate_stream", "read_gated_sink", "run_windowed_metrics_stream", "windowed_fetch_metrics", "dedup_stream", "read_deduped", "run_session_stream", "session_rollup_stream", "neardup_stream", "read_dups", "read_index_docs"]
+__all__ = ["ingest_seed_stream", "read_seed_sink", "budget_gate_stream", "read_gated_sink", "run_windowed_metrics_stream", "windowed_fetch_metrics", "dedup_stream", "read_deduped", "run_session_stream", "session_rollup_stream", "neardup_stream", "read_dups", "read_index_docs", "compact_index"]

@@ -135,6 +135,46 @@ def neardup_stream(
     q.awaitTermination()
 
 
+def compact_index(spark: SparkSession, index_dir: str) -> int:
+    """Fold all ``batch-*`` index deltas into one base dir (offline, stream
+    quiesced). Returns the number of delta dirs folded.
+
+    Run ONLY between stream runs: replay protection excludes a batch's OWN
+    subdir by id, so compacting while a batch might still replay would fold
+    its partial append into the base and make the replay self-dup.
+
+    Crash safety without a manifest: the complete fold is row-deduplicated
+    and renamed to a ``batch-``-prefixed name BEFORE the old deltas are
+    removed. A crash mid-removal leaves the fold plus some deltas — duplicate
+    rows, which change no dedup decision (same buckets, same doc ids) and
+    which the next compact_index folds away. The index is never partial.
+    """
+    import shutil
+    import uuid
+
+    folded = 0
+    for sub, schema, keys in (
+        ("docs", DOC_SCHEMA, ["doc_id"]),
+        ("buckets", _EMPTY_BUCKETS, ["doc_id", "band", "sig"]),
+    ):
+        base = os.path.join(index_dir, sub)
+        parts = sorted(
+            d for d in (os.listdir(base) if os.path.isdir(base) else [])
+            if d.startswith("batch-")
+        )
+        if len(parts) <= 1:
+            continue
+        tmp = os.path.join(base, f".compact-{uuid.uuid4().hex[:8]}")
+        _read_batches(spark, base, schema).dropDuplicates(keys).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        os.rename(tmp, os.path.join(base, f"batch-0-compact-{uuid.uuid4().hex[:8]}"))
+        for d in parts:
+            shutil.rmtree(os.path.join(base, d))
+        folded += len(parts)
+    return folded
+
+
 def read_dups(spark: SparkSession, dups_dir: str) -> DataFrame:
     return _read_batches(spark, dups_dir, DUP_SCHEMA)
 

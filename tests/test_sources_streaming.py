@@ -277,3 +277,40 @@ def test_streaming_neardup_rolling_index(spark, tmp_path):
     d3 = {(r["doc_id"], r["dup_of"]) for r in read_dups(spark, dups).collect()}
     assert (20, 11) in d3 and len(d3) == 3
     assert {r["doc_id"] for r in read_index_docs(spark, idx).collect()} == {1, 2, 11}
+
+
+def test_streaming_neardup_index_compaction(spark, tmp_path):
+    """Offline compaction folds the per-batch index deltas into one base dir
+    without changing the index contents or future dedup decisions, and is
+    idempotent."""
+    from crawler_service_spark.streaming import (
+        compact_index, neardup_stream, read_dups, read_index_docs,
+    )
+
+    in_dir = str(tmp_path / "c_docs")
+    idx = str(tmp_path / "c_index")
+    dups = str(tmp_path / "c_dups")
+    ckpt = str(tmp_path / "c_ckpt")
+    os.makedirs(in_dir)
+
+    def drop(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    drop([(1, "alpha beta gamma delta epsilon zeta eta theta")])
+    neardup_stream(spark, in_dir, idx, dups, ckpt)
+    drop([(2, "one two three four five six seven eight nine")])
+    neardup_stream(spark, in_dir, idx, dups, ckpt)
+
+    before = sorted(tuple(r) for r in read_index_docs(spark, idx).collect())
+    assert compact_index(spark, idx) > 0
+    assert sorted(tuple(r) for r in read_index_docs(spark, idx).collect()) == before
+    assert len(os.listdir(os.path.join(idx, "docs"))) == 1, "one folded base dir"
+    assert compact_index(spark, idx) == 0, "idempotent: nothing left to fold"
+
+    # dedup against the compacted index still works
+    drop([(9, "one two three four five six seven eight nine ok")])
+    neardup_stream(spark, in_dir, idx, dups, ckpt)
+    d = {(r["doc_id"], r["dup_of"]) for r in read_dups(spark, dups).collect()}
+    assert (9, 2) in d

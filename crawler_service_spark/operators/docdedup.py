@@ -402,9 +402,13 @@ def minhash_incremental_dups(
     )
     # shingle ONLY the index docs that are candidates: at a 10^10-doc standing
     # corpus the verify stage must touch candidate rows, never re-tokenize the
-    # whole index per batch
+    # whole index per batch. The candidate-id frame (one int64 per candidate,
+    # bounded by the batch's bucket co-occupancy) broadcasts so the semi join
+    # never shuffles the corpus' text bytes on doc_id.
     cand_index_docs = index_docs.join(
-        cand.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "semi"
+        F.broadcast(cand.select(F.col("doc_b").alias("doc_id")).distinct()),
+        "doc_id",
+        "semi",
     )
     sh_b = shingles(cand_index_docs, n=n, text_col=text_col).select(
         F.col("doc_id").alias("doc_b"), "shingle"

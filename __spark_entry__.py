@@ -783,7 +783,29 @@ def _multimodal_decode(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order is the driver's CORRECTNESS order, and the driver caps
+    the record at 50 rows per round — so ordering is a rotation policy, not
+    cosmetic (see REGISTRY.md). Round 4: the 11 queries displaced from the
+    r03 window (ANN + multimodal families and pipeline_sample_mix; the three
+    never-driver-checked ones first) lead, and 11 queries with banked r03
+    green rows and no round-4 behavior change sit in the tail positions
+    51-61. Any query whose semantics change in a round must be inside the
+    window that round."""
     return {
+        # -- rotated in: never driver-checked in any round ------------------
+        "ann_pq_topk": _ann_pq_topk,
+        "multimodal_resize": _multimodal_resize,
+        "pipeline_sample_mix": _pipeline_sample_mix,
+        # -- rotated in: displaced from the r03 window by the 50-row cap ----
+        "ann_dot_topk": _ann_dot_topk,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "ann_lsh_multiprobe": _ann_lsh_multiprobe,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "multimodal_features": _multimodal_features,
+        "multimodal_decode": _multimodal_decode,
+        "multimodal_frames": _multimodal_frames,
+        # -- standing window ------------------------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
         "s1_scan_filter": _s1_scan_filter,
         "f1_route_split": _f1_route_split,
@@ -818,33 +840,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_minhash_verified": _dedup_minhash_verified,
+        # changed round 4 (broadcast escape hatch) -> must stay in-window
+        "dedup_incremental": _dedup_incremental,
+        "dedup_embedding_pairs": _dedup_embedding_pairs,
+        "text_quality": _text_quality,
+        "text_langid": _text_langid,
+        # changed round 4 (overflow-safe idf scaling) -> must stay in-window
+        "text_keyword_topk": _text_keyword_topk,
+        # -- tail (positions 51+): r03 green rows banked, unchanged round 4 -
         "dedup_simhash": _dedup_simhash,
         "dedup_chunks": _dedup_chunks,
         "dedup_minhash_cluster": _dedup_minhash_cluster,
-        "dedup_incremental": _dedup_incremental,
         "pipeline_retention_funnel": _pipeline_retention_funnel,
         "sessionize_events": _sessionize_events,
-        "dedup_embedding_pairs": _dedup_embedding_pairs,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
-        "text_quality": _text_quality,
-        "text_langid": _text_langid,
         "text_fingerprint": _text_fingerprint,
         "text_token_count": _text_token_count,
         "text_gopher_quality": _text_gopher_quality,
         "text_repetition": _text_repetition,
         "text_decontaminate": _text_decontaminate,
-        "text_keyword_topk": _text_keyword_topk,
-        "pipeline_sample_mix": _pipeline_sample_mix,
-        "ann_dot_topk": _ann_dot_topk,
-        "ann_cosine_topk": _ann_cosine_topk,
-        "ann_lsh_topk": _ann_lsh_topk,
-        "ann_lsh_multiprobe": _ann_lsh_multiprobe,
-        "ann_ivf_topk": _ann_ivf_topk,
-        "ann_pq_topk": _ann_pq_topk,
-        "multimodal_features": _multimodal_features,
-        "multimodal_decode": _multimodal_decode,
-        "multimodal_frames": _multimodal_frames,
-        "multimodal_resize": _multimodal_resize,
     }
 
 
@@ -878,7 +892,7 @@ def _keyword_topk_sql(k1: int = 1200, b: int = 750) -> str:
         f"(CASE WHEN tf_{i} > 0 THEN "
         f"((1000000 * tf_{i} * {1000 + k1}) // "
         f"(1000 * tf_{i} + ({k1} * ({1000 - b} + ({b} * dl * 1000) // avgdl_millis)) // 1000) "
-        f"* ((1000000 * (n_docs - df_{i} + 1)) // (df_{i} + 1))) // 1000000 ELSE 0 END)"
+        f"* ((1000 * (n_docs - df_{i} + 1)) // (df_{i} + 1))) // 1000 ELSE 0 END)"
         for i in range(len(KEYWORD_TERMS))
     )
     return f"""
@@ -1244,13 +1258,14 @@ def _ann_lsh_sql(probe_radius: int = 0) -> str:
 
 
 def _ann_ivf_sql() -> str:
-    """DuckDB twin of ivf_topk: centroids = vec_id < n_lists, assignment via
+    """DuckDB twin of ivf_topk: centroids = the n_lists smallest-id vectors
+    (ordered-limit seeding, twin of ivf_seed_centroids), assignment via
     windowed argmin on the integer score, probes via the same ranking for
     the query row."""
     return (
         _norm_cte()
         + f"""
-        , cents AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {IVF_LISTS}),
+        , cents AS (SELECT vec_id AS cid, qv AS cv FROM q ORDER BY vec_id LIMIT {IVF_LISTS}),
         scored AS (
             SELECT v.vec_id, c.cid,
                    -2 * CAST(list_dot_product(v.qv, c.cv) AS BIGINT)
@@ -1277,13 +1292,19 @@ def _ann_ivf_sql() -> str:
 
 
 def _ann_pq_sql() -> str:
-    """DuckDB twin of pq_topk: data-sampled codebook (vec_id < PQ_CODES),
-    per-subspace windowed argmin encode, LUT-join ADC scoring."""
+    """DuckDB twin of pq_topk: codebook = the PQ_CODES smallest-id vectors,
+    code index k = positional rank (twin of the ordered-limit sampling in
+    pq_codebook), per-subspace windowed argmin encode, LUT-join ADC
+    scoring."""
     sub = EMB_DIM // PQ_SUBSPACES
     sl = f"[(ms.m*{sub}+1):(ms.m*{sub}+{sub})]"
     return f"""
         WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
-        cb AS (SELECT vec_id AS k, qv AS cv FROM q WHERE vec_id < {PQ_CODES}),
+        cb AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, cv FROM (
+                SELECT vec_id, qv AS cv FROM q ORDER BY vec_id LIMIT {PQ_CODES}
+            )
+        ),
         ms AS (SELECT unnest(range(0, {PQ_SUBSPACES})) AS m),
         sub AS (
             SELECT v.vec_id, ms.m, c.k,

@@ -369,6 +369,7 @@ def minhash_incremental_dups(
     threshold_permille: int = 300,
     text_col: str = "text",
     index_buckets: DataFrame | None = None,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Incremental dedup: flag docs in a NEW batch that near-duplicate a doc
     already in the INDEX corpus — the shape every rolling 100 TB ingest needs
@@ -383,6 +384,14 @@ def minhash_incremental_dups(
     Verification (true Jaccard) runs only over candidates. Output: one row per
     duplicated new doc — (doc_id, dup_of, jaccard_permille), best match by
     (jaccard desc, dup_of asc).
+
+    ``broadcast_candidates`` (default True) broadcasts the candidate index-id
+    frame so the corpus' text bytes never shuffle on doc_id. Candidate volume
+    is bounded by the batch's bucket co-occupancy — which a degenerate index
+    (many empty/boilerplate docs sharing identical band signatures) can make
+    quadratic. Pass False there so the semi join degrades to a shuffle join
+    instead of blowing the broadcast size limit / driver memory (same escape
+    hatch as ``decontaminate(broadcast_benchmark=False)``).
     """
     from pyspark.sql import Window
 
@@ -405,11 +414,10 @@ def minhash_incremental_dups(
     # whole index per batch. The candidate-id frame (one int64 per candidate,
     # bounded by the batch's bucket co-occupancy) broadcasts so the semi join
     # never shuffles the corpus' text bytes on doc_id.
-    cand_index_docs = index_docs.join(
-        F.broadcast(cand.select(F.col("doc_b").alias("doc_id")).distinct()),
-        "doc_id",
-        "semi",
-    )
+    cand_ids = cand.select(F.col("doc_b").alias("doc_id")).distinct()
+    if broadcast_candidates:
+        cand_ids = F.broadcast(cand_ids)
+    cand_index_docs = index_docs.join(cand_ids, "doc_id", "semi")
     sh_b = shingles(cand_index_docs, n=n, text_col=text_col).select(
         F.col("doc_id").alias("doc_b"), "shingle"
     )

@@ -242,27 +242,45 @@ def int_lsh_topk(
     )
 
 
-def ivf_assign(
+def ivf_seed_centroids(
     quantized: DataFrame,
     n_lists: int = 16,
     id_col: str = "vec_id",
     qv_col: str = "qv",
 ) -> DataFrame:
-    """IVF coarse quantizer: assign every vector to its nearest of
-    ``n_lists`` centroids. Centroids are the ``n_lists`` smallest-id vectors
-    (deterministic sampling init — the standard cheap IVF seeding; Lloyd
-    refinement would improve balance but breaks nothing here). Distance
-    ranking uses ``-2*dot(v,c) + |c|^2`` (== squared L2 up to the per-row
-    constant |v|^2), all integer-exact, ties to the smaller centroid id.
+    """(cid, cv): the ``n_lists`` smallest-id vectors as centroids (the
+    standard cheap deterministic IVF seeding; ``ann_index.ivf_refine`` runs
+    Lloyd steps on top). cid keeps the source vector id, so the frame is
+    robust to sparse / non-zero-based ids — TakeOrderedAndProject, never a
+    ``id < n_lists`` filter that would silently under-seed on gaps."""
+    return (
+        quantized.select(F.col(id_col).alias("cid"), F.col(qv_col).alias("cv"))
+        .orderBy(F.col("cid").asc())
+        .limit(n_lists)
+    )
+
+
+def ivf_assign(
+    quantized: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    qv_col: str = "qv",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid.
+    ``centroids`` is any (cid, cv) frame — seeded (ivf_seed_centroids),
+    Lloyd-refined (ann_index.ivf_refine), or read back from a persisted
+    index; default is the seed. Distance ranking uses ``-2*dot(v,c) +
+    |c|^2`` (== squared L2 up to the per-row constant |v|^2), all
+    integer-exact, ties to the smaller centroid id.
 
     Plan: the K centroid rows broadcast; assignment is a map-side K-way
     score + one groupBy argmin — the inverted lists then act like hash
     buckets for query probing (ivf_topk). Returns quantized + ``list_id``.
     """
-    cents = quantized.filter(F.col(id_col) < n_lists).select(
-        F.col(id_col).alias("cid"), F.col(qv_col).alias("cv")
-    )
-    scored = quantized.join(F.broadcast(cents))  # n x K, K tiny
+    if centroids is None:
+        centroids = ivf_seed_centroids(quantized, n_lists, id_col, qv_col)
+    scored = quantized.join(F.broadcast(centroids))  # n x K, K tiny
     score = (
         F.lit(-2) * int_dot_col(F.col(qv_col), F.col("cv"))
         + int_dot_col(F.col("cv"), F.col("cv"))
@@ -273,6 +291,17 @@ def ivf_assign(
     return quantized.join(best, id_col)
 
 
+def nearest_centroids_py(
+    qvec: list[int], cents: list[tuple[int, list[int]]], n_probe: int
+) -> list[int]:
+    """Driver-side probe selection: the ``n_probe`` centroid ids nearest the
+    query under the same integer score / tie rule as ivf_assign."""
+    def score(cv: list[int]) -> int:
+        return -2 * sum(a * b for a, b in zip(qvec, cv)) + sum(c * c for c in cv)
+
+    return [cid for cid, cv in sorted(cents, key=lambda t: (score(t[1]), t[0]))[:n_probe]]
+
+
 def ivf_topk(
     quantized: DataFrame,
     qvec: list[int],
@@ -281,20 +310,24 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     qv_col: str = "qv",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: probe the ``n_probe`` centroids nearest the query,
     exact integer-cosine re-rank inside their inverted lists. ``n_probe`` is
-    the recall lever (n_probe == n_lists degrades gracefully to exact)."""
+    the recall lever (n_probe == n_lists degrades gracefully to exact).
+
+    Note this convenience form re-assigns the corpus per call; a deployment
+    builds the assignments ONCE via ann_index.build_ivf_index and queries
+    with ann_index.ivf_topk_indexed (scan of the persisted lists only)."""
+    if centroids is None:
+        centroids = ivf_seed_centroids(quantized, n_lists, id_col, qv_col)
     cents = [
-        (int(r["cid"]), [int(x) for x in r["cv"]])
-        for r in quantized.filter(F.col(id_col) < n_lists)
-        .select(F.col(id_col).alias("cid"), F.col(qv_col).alias("cv"))
-        .collect()
+        (int(r["cid"]), [int(x) for x in r["cv"]]) for r in centroids.collect()
     ]
-    def score(cv: list[int]) -> int:
-        return -2 * sum(a * b for a, b in zip(qvec, cv)) + sum(c * c for c in cv)
-    probes = [cid for cid, cv in sorted(cents, key=lambda t: (score(t[1]), t[0]))[:n_probe]]
-    assigned = ivf_assign(quantized, n_lists=n_lists, id_col=id_col, qv_col=qv_col)
+    probes = nearest_centroids_py(qvec, cents, n_probe)
+    assigned = ivf_assign(
+        quantized, n_lists=n_lists, id_col=id_col, qv_col=qv_col, centroids=centroids
+    )
     return int_cosine_topk(
         assigned.filter(F.col("list_id").isin(probes)), qvec, k=k,
         id_col=id_col, qv_col=qv_col,
@@ -460,17 +493,24 @@ def pq_codebook(
     qv_col: str = "qv",
 ) -> list[list[list[int]]]:
     """PQ codebook sampled from the data: codeword (m, k) is subvector m of
-    the vector with id k (deterministic sampling init, same seeding style as
-    ivf_assign; Lloyd refinement would tighten cells but breaks nothing).
-    Returns cb[m][k] = list of sub_dim ints. The collect is K tiny rows
-    behind a pushed-down id filter."""
-    rows = {
-        int(r[id_col]): [int(x) for x in r[qv_col]]
-        for r in quantized.filter(F.col(id_col) < n_codes)
-        .select(id_col, qv_col)
+    the k-th SMALLEST-id vector (deterministic sampling init, same seeding
+    style as ivf seeding; ``refine_iters`` in ann_index.pq_codebook_refined
+    tightens cells). Returns cb[m][k] = list of sub_dim ints. The collect is
+    the K smallest id rows via TakeOrderedAndProject — robust to sparse or
+    non-zero-based ids (a ``vec_id < n_codes`` filter would KeyError on any
+    gap in 0..n_codes-1)."""
+    sampled = (
+        quantized.select(id_col, qv_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_codes)
         .collect()
-    }
-    dim = len(next(iter(rows.values())))
+    )
+    if len(sampled) < n_codes:
+        raise ValueError(
+            f"pq_codebook needs >= {n_codes} vectors, got {len(sampled)}"
+        )
+    rows = [[int(x) for x in r[qv_col]] for r in sampled]
+    dim = len(rows[0])
     sub = dim // n_subspaces
     return [
         [rows[k][m * sub : (m + 1) * sub] for k in range(n_codes)]

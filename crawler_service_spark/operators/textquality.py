@@ -212,14 +212,21 @@ def keyword_topk(
     bit-identical in any engine (the cross-engine contract of this module —
     float ln/div round-trips differ between Spark and DuckDB):
 
-    - idf surrogate: ``idf_micros = div(10^6 * (N - df + 1), df + 1)`` — the
+    - idf surrogate: ``idf_millis = div(10^3 * (N - df + 1), df + 1)`` — the
       rational core of the Robertson idf, monotone-decreasing in df, no log;
     - millis-scaled length norm and saturation:
       ``norm_millis  = (1000 - b) + div(b * dl * 1000, avgdl_millis)``
       ``denom_millis = 1000*tf + div(k1 * norm_millis, 1000)``
       ``tf_part_micros = div(10^6 * tf * (1000 + k1), denom_millis)``
-      ``score = sum_t div(idf_micros_t * tf_part_micros_t, 10^6)``
+      ``score = sum_t div(idf_millis_t * tf_part_micros_t, 10^3)``
       with k1/b carried in millis (defaults 1.2 / 0.75).
+
+    The idf surrogate is carried in MILLIS, not micros, so the score product
+    stays inside int64: ``tf_part_micros`` <= ~2.2e6 and ``idf_millis`` <=
+    10^3*(N+1), so the per-term product is < 2^63 for corpora up to
+    **N ≈ 4.1e9 documents** (an idf in micros overflowed — and under ANSI
+    mode threw — once N exceeded ~4e6 with a rare term). Beyond ~4e9 docs,
+    rescale idf to centis and the bound becomes ~4e10.
 
     Scale shape: two corpus scans (one tiny global agg: N, avgdl, per-term
     df — a single broadcast row), map-side scoring, TakeOrderedAndProject
@@ -257,7 +264,7 @@ def keyword_topk(
             F.expr(
                 f"div(div(1000000 * tf_{i} * {1000 + k1_millis}, "
                 f"1000 * tf_{i} + div({k1_millis} * ((1000 - {b_millis}) + div({b_millis} * dl * 1000, avgdl_millis)), 1000))"
-                f" * div(1000000 * (n_docs - df_{i} + 1), df_{i} + 1), 1000000)"
+                f" * div(1000 * (n_docs - df_{i} + 1), df_{i} + 1), 1000)"
             ),
         ).otherwise(F.lit(0).cast("long"))
         score = score + term_score

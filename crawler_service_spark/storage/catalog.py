@@ -137,11 +137,22 @@ class ManifestCatalog:
         return True
 
     # ------------------------------------------------------------------ reads
-    def _active_dirs(self, table: str, upto: str | None = None) -> list[str]:
+    def _active_dirs(
+        self, table: str, upto: str | None = None, exclude_commit: str | None = None
+    ) -> list[str]:
         dirs: list[str] = []
         for name in self._manifests(table):
             with open(os.path.join(self._manifest_dir(table), name)) as f:
                 m = json.load(f)
+            if m["commit_id"] == exclude_commit:
+                # skip an append commit's data (replay protection: a partially
+                # processed batch must not read its own earlier append). Only
+                # meaningful for appends — excluding an overwrite would splice
+                # pre-overwrite history back in, so refuse loudly.
+                assert m["mode"] == "append", (
+                    f"exclude_commit={exclude_commit!r} is an overwrite commit"
+                )
+                continue
             if m["mode"] == "overwrite":
                 dirs = []
             dirs.append(os.path.join(self._table_dir(table), m["data"]))
@@ -154,14 +165,25 @@ class ManifestCatalog:
     def exists(self, table: str) -> bool:
         return bool(self._manifests(table))
 
-    def read(self, table: str, upto: str | None = None) -> DataFrame | None:
-        dirs = self._active_dirs(table, upto)
+    def read(
+        self,
+        table: str,
+        upto: str | None = None,
+        exclude_commit: str | None = None,
+        schema=None,
+    ) -> DataFrame | None:
+        """``schema`` (DDL string or StructType) is required to read a table
+        whose visible commits may all be empty (an empty DataFrame writes no
+        parquet part files, so there is nothing to infer from)."""
+        dirs = self._active_dirs(table, upto, exclude_commit)
         if not dirs:
             return None
         reader = self.spark.read
         cached = self._schemas.get(table)
         if cached is not None:
             reader = reader.schema(cached)
+        elif schema is not None:
+            reader = reader.schema(schema)
         df = reader.parquet(*dirs)
         if cached is None:
             self._schemas[table] = df.schema

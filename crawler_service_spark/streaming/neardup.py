@@ -15,14 +15,19 @@ Per micro-batch, inside ``foreachBatch``:
 4. write flagged dups to the dup sink; append the batch's NON-dup docs and
    their buckets to the index.
 
-Exactly-once: the streaming checkpoint dedupes input files, and every write
-lands in a ``batch-<id>`` subdir overwritten on replay (same idempotency
-scheme as streaming/ingest.py) — a crashed/replayed batch converges to the
-identical index and dup set (restart-tested).
+The index and the dup sink are **ManifestCatalog tables** (the same
+storage layer as every other stateful structure in the engine — atomic
+manifest commits, snapshot isolation, idempotent replay), not bare
+``batch-*`` directories: object stores don't give directory-listing
+atomicity, and the catalog's ``upto=`` snapshot reads work mid-stream.
 
-State growth is the index itself (parquet, partition-pruned by the bucket
-join), not executor memory — unlike the exact-dedup state store, the
-near-dup index is shared, queryable, and compactable offline.
+Exactly-once: the streaming checkpoint dedupes input files; every batch's
+writes are ONE idempotent catalog commit per table with
+``commit_id = batch-<id>`` — a crashed/replayed batch re-reads the index
+with its own commit excluded (``exclude_commit``) and its re-commits are
+no-ops, so it converges to the identical index and dup set
+(restart-tested). Compaction is a catalog overwrite commit, guarded
+against running while the checkpoint still holds a replayable batch.
 """
 
 from __future__ import annotations
@@ -33,26 +38,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import docdedup
+from ..storage.catalog import ManifestCatalog
 
 DOC_SCHEMA = "doc_id long, text string"
 _EMPTY_BUCKETS = "doc_id long, band int, sig string"
 DUP_SCHEMA = "doc_id long, dup_of long, jaccard_permille long"
 
+_TABLES = (("docs", DOC_SCHEMA), ("buckets", _EMPTY_BUCKETS))
 
-def _read_batches(
-    spark: SparkSession, base: str, schema: str, exclude_id: int | None = None
+
+def _read_or_empty(
+    cat: ManifestCatalog,
+    spark: SparkSession,
+    table: str,
+    schema: str,
+    exclude_commit: str | None = None,
 ) -> DataFrame:
-    """Union of ``batch-*`` subdirs, EXCLUDING the current batch's own subdir:
-    a crashed-then-replayed batch must not see its previous partial append in
-    the index, or every doc would flag as a dup of itself."""
-    parts = sorted(
-        os.path.join(base, d)
-        for d in (os.listdir(base) if os.path.isdir(base) else [])
-        if d.startswith("batch-") and d != f"batch-{exclude_id}"
-    )
-    if not parts:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*parts)
+    df = cat.read(table, exclude_commit=exclude_commit, schema=schema)
+    return df if df is not None else spark.createDataFrame([], schema)
 
 
 def neardup_stream(
@@ -67,17 +70,16 @@ def neardup_stream(
     n: int = 3,
 ) -> None:
     """Drain available doc files through the rolling index-dedup gate."""
-    docs_idx = os.path.join(index_dir, "docs")
-    buckets_idx = os.path.join(index_dir, "buckets")
-    for d in (docs_idx, buckets_idx, dups_dir):
-        os.makedirs(d, exist_ok=True)
+    index_cat = ManifestCatalog(index_dir, spark)
+    dups_cat = ManifestCatalog(dups_dir, spark)
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
-        index_docs = _read_batches(spark, docs_idx, DOC_SCHEMA, exclude_id=batch_id)
-        index_buckets = _read_batches(
-            spark, buckets_idx, _EMPTY_BUCKETS, exclude_id=batch_id
+        cid = f"batch-{batch_id}"
+        index_docs = _read_or_empty(index_cat, spark, "docs", DOC_SCHEMA, cid)
+        index_buckets = _read_or_empty(
+            index_cat, spark, "buckets", _EMPTY_BUCKETS, cid
         )
         vs_index = docdedup.minhash_incremental_dups(
             batch, index_docs,
@@ -115,14 +117,18 @@ def neardup_stream(
             .withColumn("__rn", F.row_number().over(wd))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
-            .localCheckpoint()  # pin before the index append mutates its input dirs
+            .localCheckpoint()  # pin before the index append changes its inputs
         )
         admitted = batch.join(dups.select("doc_id"), "doc_id", "anti").localCheckpoint()
-        dups.write.mode("overwrite").parquet(os.path.join(dups_dir, f"batch-{batch_id}"))
-        admitted.write.mode("overwrite").parquet(os.path.join(docs_idx, f"batch-{batch_id}"))
-        docdedup.minhash_buckets(
-            admitted, num_hashes=num_hashes, bands=bands, n=n
-        ).write.mode("overwrite").parquet(os.path.join(buckets_idx, f"batch-{batch_id}"))
+        # idempotent catalog commits: a replayed batch recomputes byte-identical
+        # frames and each commit below is a no-op if it already landed
+        dups_cat.commit("dups", dups, cid)
+        index_cat.commit("docs", admitted, cid)
+        index_cat.commit(
+            "buckets",
+            docdedup.minhash_buckets(admitted, num_hashes=num_hashes, bands=bands, n=n),
+            cid,
+        )
 
     q = (
         spark.readStream.schema(DOC_SCHEMA)
@@ -135,49 +141,66 @@ def neardup_stream(
     q.awaitTermination()
 
 
-def compact_index(spark: SparkSession, index_dir: str) -> int:
-    """Fold all ``batch-*`` index deltas into one base dir (offline, stream
-    quiesced). Returns the number of delta dirs folded.
+def _latest_log_id(d: str) -> int:
+    if not os.path.isdir(d):
+        return -1
+    return max((int(f) for f in os.listdir(d) if f.isdigit()), default=-1)
 
-    Run ONLY between stream runs: replay protection excludes a batch's OWN
-    subdir by id, so compacting while a batch might still replay would fold
-    its partial append into the base and make the replay self-dup.
 
-    Crash safety without a manifest: the complete fold is row-deduplicated
-    and renamed to a ``batch-``-prefixed name BEFORE the old deltas are
-    removed. A crash mid-removal leaves the fold plus some deltas — duplicate
-    rows, which change no dedup decision (same buckets, same doc ids) and
-    which the next compact_index folds away. The index is never partial.
+def checkpoint_has_uncommitted_batch(checkpoint_dir: str) -> bool:
+    """True when the Structured Streaming checkpoint's offsets log is ahead
+    of its commits log — i.e. a batch was planned but its completion never
+    recorded, so the engine WILL replay it on the next start."""
+    return _latest_log_id(os.path.join(checkpoint_dir, "offsets")) > _latest_log_id(
+        os.path.join(checkpoint_dir, "commits")
+    )
+
+
+def compact_index(spark: SparkSession, index_dir: str, checkpoint_dir: str) -> int:
+    """Fold the index's per-batch append commits into one overwrite commit
+    per table (catalog ``compact`` — snapshot isolation preserved: older
+    ``upto=`` reads replay the pre-compaction chain untouched). Returns the
+    number of append commits folded.
+
+    Refuses to run while ``checkpoint_dir`` holds a replayable batch: that
+    batch's partial append would be folded into the overwrite, its
+    ``exclude_commit`` replay protection no longer matches, and the replay
+    would flag every one of its docs as a self-duplicate. This enforces the
+    quiesced-stream requirement structurally instead of by docstring.
     """
-    import shutil
-    import uuid
-
-    folded = 0
-    for sub, schema, keys in (
-        ("docs", DOC_SCHEMA, ["doc_id"]),
-        ("buckets", _EMPTY_BUCKETS, ["doc_id", "band", "sig"]),
-    ):
-        base = os.path.join(index_dir, sub)
-        parts = sorted(
-            d for d in (os.listdir(base) if os.path.isdir(base) else [])
-            if d.startswith("batch-")
+    if checkpoint_has_uncommitted_batch(checkpoint_dir):
+        raise RuntimeError(
+            f"refusing to compact {index_dir}: checkpoint {checkpoint_dir} has a "
+            "planned-but-uncommitted batch that will replay; run the stream to "
+            "completion (or drop the checkpoint) first"
         )
-        if len(parts) <= 1:
+    cat = ManifestCatalog(index_dir, spark)
+    folded = 0
+    for table, _schema in _TABLES:
+        modes = cat.commit_modes(table)
+        last_ow = max(
+            (i for i, (_c, m) in enumerate(modes) if m == "overwrite"), default=-1
+        )
+        active = len(modes) - 1 - last_ow
+        if active <= 1:
             continue
-        tmp = os.path.join(base, f".compact-{uuid.uuid4().hex[:8]}")
-        _read_batches(spark, base, schema).dropDuplicates(keys).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        os.rename(tmp, os.path.join(base, f"batch-0-compact-{uuid.uuid4().hex[:8]}"))
-        for d in parts:
-            shutil.rmtree(os.path.join(base, d))
-        folded += len(parts)
+        # deterministic commit id: a crash after data-write but before the
+        # manifest rename retries under the same id; a completed compaction
+        # leaves active == 1 so the next call is a no-op
+        cat.compact(table, f"compact-{len(modes)}", files=1)
+        folded += active
     return folded
 
 
 def read_dups(spark: SparkSession, dups_dir: str) -> DataFrame:
-    return _read_batches(spark, dups_dir, DUP_SCHEMA)
+    return _read_or_empty(ManifestCatalog(dups_dir, spark), spark, "dups", DUP_SCHEMA)
 
 
-def read_index_docs(spark: SparkSession, index_dir: str) -> DataFrame:
-    return _read_batches(spark, os.path.join(index_dir, "docs"), DOC_SCHEMA)
+def read_index_docs(
+    spark: SparkSession, index_dir: str, upto: str | None = None
+) -> DataFrame:
+    """Current index docs; ``upto="batch-<id>"`` time-travels to the index
+    exactly as of that batch's admission (works mid-stream)."""
+    cat = ManifestCatalog(index_dir, spark)
+    df = cat.read("docs", upto=upto, schema=DOC_SCHEMA)
+    return df if df is not None else spark.createDataFrame([], DOC_SCHEMA)

@@ -29,8 +29,8 @@ def _py_keyword_scores(docs, terms, k1=1200, b=750):
             df = sum(1 for dd, _ in docs if term in toks[dd])
             norm = (1000 - b) + (b * dl * 1000) // avgdl
             tf_part = (1000000 * tf * (1000 + k1)) // (1000 * tf + (k1 * norm) // 1000)
-            idf = (1000000 * (n - df + 1)) // (df + 1)
-            score += (tf_part * idf) // 1000000
+            idf_millis = (1000 * (n - df + 1)) // (df + 1)
+            score += (tf_part * idf_millis) // 1000
         if score > 0:
             out[d] = score
     return out

@@ -280,9 +280,11 @@ def test_streaming_neardup_rolling_index(spark, tmp_path):
 
 
 def test_streaming_neardup_index_compaction(spark, tmp_path):
-    """Offline compaction folds the per-batch index deltas into one base dir
-    without changing the index contents or future dedup decisions, and is
-    idempotent."""
+    """Offline compaction folds the per-batch index append commits into one
+    catalog overwrite commit without changing the index contents or future
+    dedup decisions, and is idempotent; pre-compaction ``upto=`` snapshot
+    reads still replay the original chain."""
+    from crawler_service_spark.storage.catalog import ManifestCatalog
     from crawler_service_spark.streaming import (
         compact_index, neardup_stream, read_dups, read_index_docs,
     )
@@ -303,14 +305,53 @@ def test_streaming_neardup_index_compaction(spark, tmp_path):
     drop([(2, "one two three four five six seven eight nine")])
     neardup_stream(spark, in_dir, idx, dups, ckpt)
 
+    # mid-stream time travel: the index exactly as of batch 0's admission
+    assert {r["doc_id"] for r in read_index_docs(spark, idx, upto="batch-0").collect()} == {1}
+
     before = sorted(tuple(r) for r in read_index_docs(spark, idx).collect())
-    assert compact_index(spark, idx) > 0
+    assert compact_index(spark, idx, ckpt) > 0
     assert sorted(tuple(r) for r in read_index_docs(spark, idx).collect()) == before
-    assert len(os.listdir(os.path.join(idx, "docs"))) == 1, "one folded base dir"
-    assert compact_index(spark, idx) == 0, "idempotent: nothing left to fold"
+    cat = ManifestCatalog(idx, spark)
+    assert len(cat._active_dirs("docs")) == 1, "snapshot reads one folded commit"
+    assert compact_index(spark, idx, ckpt) == 0, "idempotent: nothing left to fold"
+    # snapshot isolation survives compaction: the old chain still replays
+    assert {r["doc_id"] for r in read_index_docs(spark, idx, upto="batch-0").collect()} == {1}
 
     # dedup against the compacted index still works
     drop([(9, "one two three four five six seven eight nine ok")])
     neardup_stream(spark, in_dir, idx, dups, ckpt)
     d = {(r["doc_id"], r["dup_of"]) for r in read_dups(spark, dups).collect()}
     assert (9, 2) in d
+
+
+def test_streaming_neardup_compaction_guard(spark, tmp_path):
+    """compact_index refuses to fold while the stream checkpoint holds a
+    planned-but-uncommitted (replayable) batch — folding then would defeat
+    the replay's own-commit exclusion and self-dup every doc in the batch."""
+    import pytest
+
+    from crawler_service_spark.streaming import compact_index, neardup_stream
+
+    in_dir = str(tmp_path / "g_docs")
+    idx = str(tmp_path / "g_index")
+    dups = str(tmp_path / "g_dups")
+    ckpt = str(tmp_path / "g_ckpt")
+    os.makedirs(in_dir)
+    for b, text in enumerate(
+        ["alpha beta gamma delta epsilon zeta", "one two three four five six"]
+    ):
+        spark.createDataFrame([(b, text)], "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+        neardup_stream(spark, in_dir, idx, dups, ckpt)
+
+    # simulate a crash after offset planning but before the commit record:
+    # offsets log one batch ahead of commits log
+    offsets = sorted(int(f) for f in os.listdir(os.path.join(ckpt, "offsets")) if f.isdigit())
+    nxt = offsets[-1] + 1
+    with open(os.path.join(ckpt, "offsets", str(nxt)), "w") as f:
+        f.write("v1\n{}\n0")
+    with pytest.raises(RuntimeError, match="uncommitted batch"):
+        compact_index(spark, idx, ckpt)
+    os.remove(os.path.join(ckpt, "offsets", str(nxt)))
+    assert compact_index(spark, idx, ckpt) > 0, "quiesced checkpoint folds fine"

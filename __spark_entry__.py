@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 
 from crawler_service_spark.functions.urls import ext_class_col, extension_col
 from crawler_service_spark.operators import (
+    ann_index,
     docdedup,
     grouping,
     multimodal,
@@ -704,19 +705,29 @@ PQ_SUBSPACES, PQ_CODES = 8, 16   # 64-dim -> 8 subspaces x 16 codewords (1 byte/
 
 
 def _ann_ivf_topk(spark, sf):
-    """IVF ANN: deterministic seed-sampled coarse quantizer, 2-probe, exact
+    """IVF ANN: seed-sampled coarse quantizer tightened by ONE integer-exact
+    Lloyd step (ann_index.ivf_refine — truncating-div centroid means, ties
+    to smaller cid, both mirrored in the DuckDB twin), 2-probe, exact
     integer-cosine re-rank inside the probed inverted lists."""
+    q = _quantized(spark, sf)
+    cents = ann_index.ivf_refine(
+        q, similarity.ivf_seed_centroids(q, IVF_LISTS), iters=1
+    ).localCheckpoint()
     return similarity.ivf_topk(
-        _quantized(spark, sf), _query_qvec(spark, sf), k=10,
-        n_lists=IVF_LISTS, n_probe=IVF_PROBE,
+        q, _query_qvec(spark, sf), k=10,
+        n_lists=IVF_LISTS, n_probe=IVF_PROBE, centroids=cents,
     )
 
 
 def _ann_pq_topk(spark, sf):
-    """Product-quantization ANN: data-sampled integer codebooks, map-side
-    encode, ADC (lookup-table) scoring — the compressed-domain scan path."""
+    """Product-quantization ANN: data-sampled integer codebooks tightened by
+    ONE integer Lloyd step per subspace (ann_index.pq_codebook_refined),
+    map-side encode, ADC (lookup-table) scoring — the compressed-domain
+    scan path."""
     q = _quantized(spark, sf)
-    cb = similarity.pq_codebook(q, n_subspaces=PQ_SUBSPACES, n_codes=PQ_CODES)
+    cb = ann_index.pq_codebook_refined(
+        q, n_subspaces=PQ_SUBSPACES, n_codes=PQ_CODES, refine=1
+    )
     return similarity.pq_topk(q, _query_qvec(spark, sf), cb, k=10)
 
 
@@ -1258,14 +1269,41 @@ def _ann_lsh_sql(probe_radius: int = 0) -> str:
 
 
 def _ann_ivf_sql() -> str:
-    """DuckDB twin of ivf_topk: centroids = the n_lists smallest-id vectors
-    (ordered-limit seeding, twin of ivf_seed_centroids), assignment via
-    windowed argmin on the integer score, probes via the same ranking for
-    the query row."""
+    """DuckDB twin of ivf_topk with ONE Lloyd step: seed centroids = the
+    n_lists smallest-id vectors (twin of ivf_seed_centroids), one refinement
+    round (assign via windowed argmin, new centroid component = truncating
+    integer mean ``sum // count`` — DuckDB ``//`` truncates toward zero,
+    exactly Spark's ``div``; empty cells keep their seed), then assignment
+    and probe selection against the REFINED centroids."""
     return (
         _norm_cte()
         + f"""
-        , cents AS (SELECT vec_id AS cid, qv AS cv FROM q ORDER BY vec_id LIMIT {IVF_LISTS}),
+        , seeds AS (SELECT vec_id AS cid, qv AS cv FROM q ORDER BY vec_id LIMIT {IVF_LISTS}),
+        s0 AS (
+            SELECT v.vec_id, c.cid,
+                   -2 * CAST(list_dot_product(v.qv, c.cv) AS BIGINT)
+                     + CAST(list_dot_product(c.cv, c.cv) AS BIGINT) AS score
+            FROM q v, seeds c
+        ),
+        a0 AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+                FROM s0
+            ) WHERE rn = 1
+        ),
+        dims AS (SELECT unnest(range(1, {EMB_DIM} + 1)) AS d),
+        m0 AS (
+            SELECT a0.cid, dims.d,
+                   CAST(sum(q.qv[dims.d]) AS BIGINT) AS s, count(*) AS cnt
+            FROM a0 JOIN q USING (vec_id), dims
+            GROUP BY a0.cid, dims.d
+        ),
+        c1 AS (SELECT cid, list(CAST(s // cnt AS BIGINT) ORDER BY d) AS cv FROM m0 GROUP BY cid),
+        cents AS (
+            SELECT seeds.cid, coalesce(c1.cv, seeds.cv) AS cv
+            FROM seeds LEFT JOIN c1 USING (cid)
+        ),
         scored AS (
             SELECT v.vec_id, c.cid,
                    -2 * CAST(list_dot_product(v.qv, c.cv) AS BIGINT)
@@ -1292,38 +1330,69 @@ def _ann_ivf_sql() -> str:
 
 
 def _ann_pq_sql() -> str:
-    """DuckDB twin of pq_topk: codebook = the PQ_CODES smallest-id vectors,
-    code index k = positional rank (twin of the ordered-limit sampling in
-    pq_codebook), per-subspace windowed argmin encode, LUT-join ADC
-    scoring."""
+    """DuckDB twin of pq_topk with ONE Lloyd step per subspace: seed
+    codebook = the PQ_CODES smallest-id vectors (code index k = positional
+    rank, twin of pq_codebook's ordered-limit sampling), one refinement
+    round (encode via windowed argmin, new codeword component = truncating
+    integer mean ``sum // count``; unused codewords keep their seed), then
+    encode + LUT-join ADC scoring against the REFINED codebook."""
     sub = EMB_DIM // PQ_SUBSPACES
-    sl = f"[(ms.m*{sub}+1):(ms.m*{sub}+{sub})]"
+    vsl = f"[(w.m*{sub}+1):(w.m*{sub}+{sub})]"
     return f"""
         WITH q AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings),
-        cb AS (
+        cb0 AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, cv FROM (
                 SELECT vec_id, qv AS cv FROM q ORDER BY vec_id LIMIT {PQ_CODES}
             )
         ),
         ms AS (SELECT unnest(range(0, {PQ_SUBSPACES})) AS m),
-        sub AS (
-            SELECT v.vec_id, ms.m, c.k,
-                   -2 * CAST(list_dot_product(v.qv{sl}, c.cv{sl}) AS BIGINT)
-                     + CAST(list_dot_product(c.cv{sl}, c.cv{sl}) AS BIGINT) AS score
-            FROM q v, cb c, ms
+        w0 AS (
+            SELECT ms.m, c.k, c.cv[(ms.m*{sub}+1):(ms.m*{sub}+{sub})] AS cw
+            FROM cb0 c, ms
+        ),
+        s0 AS (
+            SELECT v.vec_id, w.m, w.k,
+                   -2 * CAST(list_dot_product(v.qv{vsl}, w.cw) AS BIGINT)
+                     + CAST(list_dot_product(w.cw, w.cw) AS BIGINT) AS score
+            FROM q v, w0 w
+        ),
+        a0 AS (
+            SELECT vec_id, m, k FROM (
+                SELECT vec_id, m, k,
+                       row_number() OVER (PARTITION BY vec_id, m ORDER BY score, k) AS rn
+                FROM s0
+            ) WHERE rn = 1
+        ),
+        sdims AS (SELECT unnest(range(1, {sub} + 1)) AS d),
+        m1 AS (
+            SELECT a0.m, a0.k, sd.d,
+                   CAST(sum(q.qv[a0.m*{sub} + sd.d]) AS BIGINT) AS s, count(*) AS cnt
+            FROM a0 JOIN q USING (vec_id), sdims sd
+            GROUP BY a0.m, a0.k, sd.d
+        ),
+        w1 AS (SELECT m, k, list(CAST(s // cnt AS BIGINT) ORDER BY d) AS cw FROM m1 GROUP BY m, k),
+        wb AS (
+            SELECT w0.m, w0.k, coalesce(w1.cw, w0.cw) AS cw
+            FROM w0 LEFT JOIN w1 USING (m, k)
+        ),
+        s1 AS (
+            SELECT v.vec_id, w.m, w.k,
+                   -2 * CAST(list_dot_product(v.qv{vsl}, w.cw) AS BIGINT)
+                     + CAST(list_dot_product(w.cw, w.cw) AS BIGINT) AS score
+            FROM q v, wb w
         ),
         codes AS (
             SELECT vec_id, m, k FROM (
                 SELECT vec_id, m, k,
                        row_number() OVER (PARTITION BY vec_id, m ORDER BY score, k) AS rn
-                FROM sub
+                FROM s1
             ) WHERE rn = 1
         ),
         qq AS (SELECT qv FROM q WHERE vec_id = 0),
         lut AS (
-            SELECT ms.m, c.k,
-                   CAST(list_dot_product((SELECT qv FROM qq){sl}, c.cv{sl}) AS BIGINT) AS d
-            FROM cb c, ms
+            SELECT w.m, w.k,
+                   CAST(list_dot_product((SELECT qv FROM qq){vsl}, w.cw) AS BIGINT) AS d
+            FROM wb w
         )
         SELECT codes.vec_id, CAST(sum(lut.d) AS BIGINT) AS approx_dot
         FROM codes JOIN lut ON codes.m = lut.m AND codes.k = lut.k

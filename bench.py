@@ -100,7 +100,13 @@ def sat_fixture(sf: float) -> dict[str, str]:
     return paths
 
 
-def run_saturated(cpus: int, paths: dict[str, str], tag: str, salt_lanes: int = 8) -> dict:
+def run_saturated(
+    cpus: int,
+    paths: dict[str, str],
+    tag: str,
+    salt_lanes: int = 8,
+    cfg_kwargs: dict | None = None,
+) -> dict:
     """One saturated-frontier iteration at the given parallelism.
 
     The north-rule scaling regime: at a 10^10-URL frontier every iteration
@@ -127,6 +133,7 @@ def run_saturated(cpus: int, paths: dict[str, str], tag: str, salt_lanes: int = 
         # commit_files=None: a saturated iteration writes GBs — bounding file
         # count would funnel the write through a narrow shuffle for no reason
         commit_files=None, eager_checkpoints=True,
+        **(cfg_kwargs or {}),
     )
     wd = os.path.join(CACHE, f"wd-sat-{tag}")
     shutil.rmtree(wd, ignore_errors=True)

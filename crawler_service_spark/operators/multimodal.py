@@ -124,16 +124,31 @@ def decode_media(media: DataFrame, fake_decode: bool = False) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                b = payload or b"\x00\x00"
-                w = 16 + (b[0] % 64) * 16
-                h = 16 + (b[-1] % 64) * 16
-                ch = 3 if kind == "image" else 1
-                frames = 1 if kind == "image" else 1 + len(b) // 1024
-                rows.append((int(mid), kind, w, h, ch, frames))
+            nrows = len(pdf)
+            if nrows == 0:
+                continue
+            # vectorized like extract_byte_features: one shared buffer, the
+            # per-row first/last bytes come from two gathers — the template a
+            # real codec drop-in should follow (decode headers batch-wise,
+            # never loop rows in Python)
+            payloads = [p if p else b"\x00\x00" for p in pdf["payload"]]
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=nrows)
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            w = 16 + (buf[starts].astype(np.int64) % 64) * 16
+            h = 16 + (buf[starts + lens - 1].astype(np.int64) % 64) * 16
+            is_image = (pdf["kind"] == "image").to_numpy()
+            ch = np.where(is_image, 3, 1).astype(np.int32)
+            frames = np.where(is_image, 1, 1 + lens // 1024).astype(np.int32)
             yield pd.DataFrame(
-                rows, columns=[f.name for f in DECODED_SCHEMA.fields]
+                {
+                    "media_id": pdf["media_id"].astype("int64").to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "width": w.astype(np.int32),
+                    "height": h.astype(np.int32),
+                    "channels": ch,
+                    "frames": frames,
+                }
             )
 
     return widen(media).mapInPandas(run, schema=DECODED_SCHEMA)
@@ -172,18 +187,45 @@ def resize_media(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                b = payload or b"\x00\x00"
-                w = 16 + (b[0] % 64) * 16
-                h = 16 + (b[-1] % 64) * 16
-                # integer round-half-up area ratio: deterministic AND
-                # SQL-expressible (float round() ties differ across engines)
-                target = target_w * target_h
-                stride = max(1, (w * h + target // 2) // target)
-                out = b[::stride]
-                rows.append((int(mid), kind, target_w, target_h, out, len(out)))
-            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+            nrows = len(pdf)
+            if nrows == 0:
+                continue
+            # vectorized with the gather/stride technique of sample_frames:
+            # dims from two gathers on the shared buffer, every output byte
+            # position from one arange — the only per-row step left is
+            # slicing the contiguous result into per-row bytes objects
+            # (which any real encoder also pays when materializing outputs)
+            payloads = [p if p else b"\x00\x00" for p in pdf["payload"]]
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=nrows)
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            w = 16 + (buf[starts].astype(np.int64) % 64) * 16
+            h = 16 + (buf[starts + lens - 1].astype(np.int64) % 64) * 16
+            # integer round-half-up area ratio: deterministic AND
+            # SQL-expressible (float round() ties differ across engines)
+            target = target_w * target_h
+            stride = np.maximum(1, (w * h + target // 2) // target)
+            n_out = -(-lens // stride)  # ceil(len / stride) == len(b[::stride])
+            total = int(n_out.sum())
+            row_of = np.repeat(np.arange(nrows, dtype=np.int64), n_out)
+            within = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(np.concatenate([[0], np.cumsum(n_out)[:-1]]), n_out)
+            )
+            pos = starts[row_of] + within * stride[row_of]
+            flat = buf[pos].tobytes()
+            bounds = np.concatenate([[0], np.cumsum(n_out)])
+            outs = [flat[bounds[i] : bounds[i + 1]] for i in range(nrows)]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64").to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "width": np.full(nrows, target_w, dtype=np.int32),
+                    "height": np.full(nrows, target_h, dtype=np.int32),
+                    "payload": outs,
+                    "n_bytes": n_out,
+                }
+            )
 
     return widen(media).mapInPandas(run, schema=RESIZED_SCHEMA)
 

@@ -80,10 +80,14 @@ class ManifestCatalog:
         commit_id: str,
         mode: str = "append",
         coalesce: int | None = None,
+        partition_by: list[str] | None = None,
     ) -> bool:
         """Write ``df`` as one atomic commit. Returns False if the commit_id was
         already present (idempotent re-run). ``coalesce`` bounds output file
         count per commit (small-file compaction; at petabyte scale leave None).
+        ``partition_by`` hive-partitions the commit's data files on the given
+        columns, so snapshot reads with an equality/IN filter on them prune
+        whole directories (the IVF inverted-list scan relies on this).
 
         File-bounding uses ``repartition``, NOT ``coalesce``: coalesce is a
         narrow dependency, so it would collapse the *upstream* stage (the
@@ -99,11 +103,21 @@ class ManifestCatalog:
         if coalesce:
             df = df.repartition(coalesce)
         # a crashed earlier attempt may have left partial data; overwrite it
-        df.write.mode("overwrite").parquet(data_abs)
-        self._publish(table, commit_id, mode, data_rel)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_abs)
+        self._publish(table, commit_id, mode, data_rel, partition_by)
         return True
 
-    def _publish(self, table: str, commit_id: str, mode: str, data_rel: str) -> None:
+    def _publish(
+        self,
+        table: str,
+        commit_id: str,
+        mode: str,
+        data_rel: str,
+        partition_by: list[str] | None = None,
+    ) -> None:
         """Atomically append the manifest; the per-table lock makes the
         seq-read + rename race-free across concurrent commit threads."""
         mdir = self._manifest_dir(table)
@@ -111,6 +125,8 @@ class ManifestCatalog:
         with self._lock(table):
             seq = len(self._manifests(table))
             manifest = {"seq": seq, "commit_id": commit_id, "mode": mode, "data": data_rel}
+            if partition_by:
+                manifest["partition_by"] = partition_by
             tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
@@ -137,10 +153,11 @@ class ManifestCatalog:
         return True
 
     # ------------------------------------------------------------------ reads
-    def _active_dirs(
+    def _active_entries(
         self, table: str, upto: str | None = None, exclude_commit: str | None = None
-    ) -> list[str]:
-        dirs: list[str] = []
+    ) -> list[tuple[str, list[str] | None]]:
+        """Active (data_dir, partition_by) pairs for the requested snapshot."""
+        entries: list[tuple[str, list[str] | None]] = []
         for name in self._manifests(table):
             with open(os.path.join(self._manifest_dir(table), name)) as f:
                 m = json.load(f)
@@ -154,13 +171,23 @@ class ManifestCatalog:
                 )
                 continue
             if m["mode"] == "overwrite":
-                dirs = []
-            dirs.append(os.path.join(self._table_dir(table), m["data"]))
+                entries = []
+            entries.append(
+                (
+                    os.path.join(self._table_dir(table), m["data"]),
+                    m.get("partition_by"),
+                )
+            )
             if upto is not None and m["commit_id"] == upto:
-                return dirs
+                return entries
         if upto is not None:
             return []  # requested snapshot not committed yet
-        return dirs
+        return entries
+
+    def _active_dirs(
+        self, table: str, upto: str | None = None, exclude_commit: str | None = None
+    ) -> list[str]:
+        return [d for d, _p in self._active_entries(table, upto, exclude_commit)]
 
     def exists(self, table: str) -> bool:
         return bool(self._manifests(table))
@@ -175,16 +202,29 @@ class ManifestCatalog:
         """``schema`` (DDL string or StructType) is required to read a table
         whose visible commits may all be empty (an empty DataFrame writes no
         parquet part files, so there is nothing to infer from)."""
-        dirs = self._active_dirs(table, upto, exclude_commit)
-        if not dirs:
+        entries = self._active_entries(table, upto, exclude_commit)
+        if not entries:
             return None
-        reader = self.spark.read
         cached = self._schemas.get(table)
-        if cached is not None:
-            reader = reader.schema(cached)
-        elif schema is not None:
-            reader = reader.schema(schema)
-        df = reader.parquet(*dirs)
+        use_schema = cached if cached is not None else schema
+
+        def _reader():
+            r = self.spark.read
+            return r.schema(use_schema) if use_schema is not None else r
+
+        if any(p for _d, p in entries):
+            # hive-partitioned commits: each commit dir is its own partition
+            # root, so read per-commit (basePath = the commit dir) and union —
+            # a single multi-path read would see conflicting structures.
+            # Partition pruning still applies inside every branch.
+            from functools import reduce
+
+            parts = [
+                _reader().option("basePath", d).parquet(d) for d, _p in entries
+            ]
+            df = reduce(lambda a, b: a.unionByName(b), parts)
+        else:
+            df = _reader().parquet(*[d for d, _p in entries])
         if cached is None:
             self._schemas[table] = df.schema
         return df

@@ -1,0 +1,154 @@
+"""Persisted ANN index lifecycle (ann_index): integer Lloyd refinement vs a
+pure-numpy reference, build-once/query-many equivalence with the convenience
+query paths, incremental append against frozen centroids/codebooks, and the
+plan-shape claims (partition-pruned IVF scan; no re-encode in the PQ ADC
+scan)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_service_spark.operators import ann_index, similarity
+from crawler_service_spark.storage.catalog import ManifestCatalog
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncating integer division (Spark div / DuckDB //)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _quantize(vecs: np.ndarray) -> list[list[int]]:
+    return [[int(v) for v in np.round(row * 1000)] for row in vecs]
+
+
+@pytest.fixture(scope="module")
+def ann_vectors(spark):
+    """330 quantized unit vectors (32-dim), ids dense 0..329."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((330, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    q = _quantize(base)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(q)], "vec_id long, qv array<long>"
+    ).repartition(4)
+    return df, q
+
+
+def _np_assign(vecs: list[list[int]], cents: list[tuple[int, list[int]]]) -> list[int]:
+    """argmin_c of -2*dot(v,c)+|c|^2, ties to smaller cid — ivf_assign's rule."""
+    out = []
+    for v in vecs:
+        best = min(
+            (
+                (-2 * sum(a * b for a, b in zip(v, cv)) + sum(c * c for c in cv), cid)
+                for cid, cv in cents
+            )
+        )
+        out.append(best[1])
+    return out
+
+
+def test_ivf_refine_matches_numpy_reference(spark, ann_vectors):
+    """One Lloyd step == assign-to-nearest + per-dim truncating-div means,
+    empty cells keeping their seed — computed independently in pure Python."""
+    df, q = ann_vectors
+    seeds = [(i, q[i]) for i in range(8)]
+    assigned = _np_assign(q, seeds)
+    want = {}
+    for cid, cv in seeds:
+        members = [q[i] for i, a in enumerate(assigned) if a == cid]
+        if members:
+            want[cid] = [
+                _trunc_div(sum(m[d] for m in members), len(members))
+                for d in range(len(cv))
+            ]
+        else:
+            want[cid] = cv
+    got = {
+        int(r["cid"]): [int(x) for x in r["cv"]]
+        for r in ann_index.ivf_refine(
+            df, similarity.ivf_seed_centroids(df, 8), iters=1
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ivf_index_build_query_append(spark, ann_vectors, tmp_path):
+    """build -> indexed query == convenience query with the same centroids;
+    append assigns new vectors against FROZEN centroids; the indexed scan is
+    partition-pruned on list_id and never re-assigns the corpus."""
+    df, q = ann_vectors
+    old = df.filter(F.col("vec_id") < 300)
+    new = df.filter(F.col("vec_id") >= 300)
+    cat = ManifestCatalog(str(tmp_path / "annidx"), spark)
+    ann_index.build_ivf_index(cat, old, n_lists=8, refine=1)
+    ann_index.ivf_append(cat, new, commit_id="delta-1")
+
+    qvec = q[7]
+    got = ann_index.ivf_topk_indexed(cat, qvec, k=10, n_probe=2)
+    plan = got._sc._jvm.PythonSQLUtils.explainString(got._jdf.queryExecution(), "simple")
+    assert "PartitionFilters" in plan and "list_id" in plan, "probe must prune lists"
+
+    # expected: same centroids (frozen from the 300-vector build), full corpus
+    cents = spark.createDataFrame(
+        ann_index.read_ivf_centroids(cat), "cid long, cv array<long>"
+    )
+    want = similarity.ivf_topk(df, qvec, k=10, n_probe=2, centroids=cents)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    # idempotent replay: re-appending the same commit is a no-op
+    assert ann_index.ivf_append(cat, new, commit_id="delta-1") is False
+    assert got.count() == 10
+
+
+def test_pq_refined_codebook_matches_numpy_reference(spark, ann_vectors):
+    """One PQ Lloyd step per subspace == encode + per-dim truncating-div
+    codeword means, unused codewords keeping their seed."""
+    df, q = ann_vectors
+    seed_cb = similarity.pq_codebook(df, n_subspaces=8, n_codes=16)
+    sub = len(seed_cb[0][0])
+    want = []
+    for m, words in enumerate(seed_cb):
+        subvecs = [v[m * sub : (m + 1) * sub] for v in q]
+        codes = _np_assign(subvecs, list(enumerate(words)))
+        new_words = []
+        for k, w in enumerate(words):
+            members = [subvecs[i] for i, c in enumerate(codes) if c == k]
+            if members:
+                new_words.append(
+                    [
+                        _trunc_div(sum(mv[d] for mv in members), len(members))
+                        for d in range(sub)
+                    ]
+                )
+            else:
+                new_words.append(w)
+        want.append(new_words)
+    got = ann_index.pq_codebook_refined(df, n_subspaces=8, n_codes=16, refine=1)
+    assert got == want
+
+
+def test_pq_index_build_query_append(spark, ann_vectors, tmp_path):
+    """build -> ADC query over the persisted codes table == convenience
+    pq_topk with the stored codebook; the indexed plan contains NO Python
+    encode stage (the compressed-domain scan never touches the corpus);
+    append encodes new vectors with the frozen codebook."""
+    df, q = ann_vectors
+    old = df.filter(F.col("vec_id") < 300)
+    new = df.filter(F.col("vec_id") >= 300)
+    cat = ManifestCatalog(str(tmp_path / "pqidx"), spark)
+    built_cb = ann_index.build_pq_index(cat, old, n_subspaces=8, n_codes=16, refine=1)
+    assert built_cb == ann_index.read_pq_codebook(cat)
+    ann_index.pq_append(cat, new, commit_id="delta-1")
+
+    qvec = q[3]
+    got = ann_index.pq_topk_indexed(cat, qvec, k=10)
+    plan = got._sc._jvm.PythonSQLUtils.explainString(got._jdf.queryExecution(), "simple")
+    for marker in ("ArrowEvalPython", "mapInPandas", "BatchEvalPython"):
+        assert marker not in plan, f"indexed ADC scan must not re-encode ({marker})"
+
+    want = similarity.pq_topk(df, qvec, built_cb, k=10)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]

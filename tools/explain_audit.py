@@ -101,6 +101,45 @@ def main() -> int:
         print("FAIL q1_pricing_summary: no codegen stages in final plan")
         print(final)
 
+    # persisted ANN index query paths: the whole point is what is ABSENT
+    # from the plan — no corpus re-assign/re-encode, scan pruned to the
+    # probed lists / the codes table
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from crawler_service_spark.operators import ann_index
+    from crawler_service_spark.storage.catalog import ManifestCatalog
+
+    with tempfile.TemporaryDirectory() as td:
+        cat = ManifestCatalog(td, spark)
+        qdf = entrymod._quantized(spark, SF_DIR)
+        qvec = entrymod._query_qvec(spark, SF_DIR)
+        ann_index.build_ivf_index(cat, qdf, n_lists=16, refine=1)
+        ann_index.build_pq_index(cat, qdf, n_subspaces=8, n_codes=16, refine=1)
+        ivf_plan = formatted(ann_index.ivf_topk_indexed(cat, qvec, k=10, n_probe=2))
+        why = "probed lists prune partitions"
+        if re.search(r"PartitionFilters: \[[^\]]*list_id", ivf_plan):
+            print(f"OK   ivf_topk_indexed: {why}")
+        else:
+            failures.append(("ivf_topk_indexed", why))
+            print(f"FAIL ivf_topk_indexed: {why}")
+            print(ivf_plan)
+        pq_plan = formatted(ann_index.pq_topk_indexed(cat, qvec, k=10))
+        for plan, name in ((ivf_plan, "ivf_topk_indexed"), (pq_plan, "pq_topk_indexed")):
+            bad = [m for m in ("ArrowEvalPython", "mapInPandas", "BatchEvalPython") if m in plan]
+            if bad:
+                failures.append((name, f"re-encode stage in indexed scan: {bad}"))
+                print(f"FAIL {name}: indexed scan re-encodes ({bad})")
+                print(plan)
+            else:
+                print(f"OK   {name}: no corpus re-encode in the indexed scan")
+        if "TakeOrderedAndProject" in pq_plan:
+            print("OK   pq_topk_indexed: ADC top-k without global sort")
+        else:
+            failures.append(("pq_topk_indexed", "TakeOrderedAndProject"))
+            print(pq_plan)
+
     # negative check: no CartesianProduct anywhere except the intentional
     # all-pairs embedding query
     for name in ["q1_pricing_summary", "j1_broadcast_enrich", "j5_seen_antijoin",

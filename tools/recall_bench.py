@@ -9,8 +9,10 @@ docstrings cite:
 - multi-probe LSH (8 planes): planted-dup recall + mean candidate fraction at
   Hamming probe radius 0 / 1 / 2;
 - IVF (16 lists): planted-dup recall + scanned fraction at n_probe 1/2/4/16
-  (n_probe == n_lists is exact by construction, asserted);
-- PQ ADC (8x16): planted-dup recall@10 of the compressed-domain scan.
+  (n_probe == n_lists is exact by construction, asserted), seed centroids
+  AND one-Lloyd-step refined centroids (ann_index.ivf_refine);
+- PQ ADC (8x16): planted-dup recall@10 of the compressed-domain scan, seed
+  codebook AND one-Lloyd-step refined codebook (pq_codebook_refined).
 
 Protocol: 1000 random unit vectors + 100 planted near-dups (cos ~0.98-0.999,
 same generator as the test fixture, seed 7), 32 query vectors whose planted
@@ -31,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from crawler_service_spark.operators import similarity
+from crawler_service_spark.operators import ann_index, similarity
 from crawler_service_spark.session import get_spark
 
 N_BASE, N_DUP, DIM, K, N_QUERIES = 1000, 100, 32, 10, 32
@@ -84,35 +86,65 @@ def main() -> None:
         }
     out["multiprobe_lsh_8planes"] = lsh
 
-    # IVF: n_probe sweep; n_probe == n_lists must equal exact
+    # IVF: n_probe sweep at seed AND 1-Lloyd-step refined centroids;
+    # n_probe == n_lists must equal exact
+    seed_cents = similarity.ivf_seed_centroids(df, 16).localCheckpoint()
+    refined_cents = ann_index.ivf_refine(df, seed_cents, iters=1).localCheckpoint()
     ivf = {}
-    for n_probe in (1, 2, 4, 16):
-        hits = 0
-        for q, qv in qvecs.items():
-            res = similarity.ivf_topk(df, qv, k=K, n_lists=16, n_probe=n_probe)
-            ids = {int(r["vec_id"]) for r in res.collect()}
-            if N_BASE + q in ids:
-                hits += 1
-        # scanned fraction is data-dependent per query only through the probe
-        # list; approximate with the mean list mass of one query's probes
-        ivf[f"probe_{n_probe}"] = {"recall": round(hits / N_QUERIES, 3),
-                                   "scan_frac": round(n_probe / 16, 4)}
+    for label, cents in (("seed", seed_cents), ("lloyd1", refined_cents)):
+        for n_probe in (1, 2, 4, 16):
+            hits = 0
+            for q, qv in qvecs.items():
+                res = similarity.ivf_topk(
+                    df, qv, k=K, n_lists=16, n_probe=n_probe, centroids=cents
+                )
+                ids = {int(r["vec_id"]) for r in res.collect()}
+                if N_BASE + q in ids:
+                    hits += 1
+            # scanned fraction is data-dependent per query only through the
+            # probe list; approximate with the mean list mass of the probes
+            ivf[f"{label}_probe_{n_probe}"] = {
+                "recall": round(hits / N_QUERIES, 3),
+                "scan_frac": round(n_probe / 16, 4),
+            }
+    # list balance: Lloyd's main effect at ceiling-recall panels — the max
+    # list mass bounds the worst-case probe scan, so report max/mean
+    for label, cents in (("seed", seed_cents), ("lloyd1", refined_cents)):
+        sizes = [
+            int(r["count"])
+            for r in similarity.ivf_assign(df, centroids=cents)
+            .groupBy("list_id").count().collect()
+        ]
+        ivf[f"{label}_balance"] = {
+            "max_list": max(sizes), "mean_list": round(n_total / 16, 1),
+            "max_over_mean": round(max(sizes) / (n_total / 16), 2),
+        }
+
     exact5 = [(int(r["vec_id"]), int(r["cosine_micros"]))
               for r in similarity.int_cosine_topk(df, qvecs[5], k=K).collect()]
-    full5 = [(int(r["vec_id"]), int(r["cosine_micros"]))
-             for r in similarity.ivf_topk(df, qvecs[5], k=K, n_lists=16, n_probe=16).collect()]
-    assert full5 == exact5, "IVF probe-all must be exact"
+    for cents in (seed_cents, refined_cents):
+        full5 = [(int(r["vec_id"]), int(r["cosine_micros"]))
+                 for r in similarity.ivf_topk(
+                     df, qvecs[5], k=K, n_lists=16, n_probe=16, centroids=cents
+                 ).collect()]
+        assert full5 == exact5, "IVF probe-all must be exact"
     out["ivf_16lists"] = ivf
 
-    # PQ ADC scan: recall@K of the planted dup from compressed codes
-    cb = similarity.pq_codebook(df, n_subspaces=8, n_codes=16)
-    hits = 0
-    for q, qv in qvecs.items():
-        ids = {int(r["vec_id"]) for r in similarity.pq_topk(df, qv, cb, k=K).collect()}
-        if N_BASE + q in ids:
-            hits += 1
-    out["pq_adc_8x16"] = {"recall": round(hits / N_QUERIES, 3), "scan_frac": 1.0,
-                          "bytes_per_vec_vs_exact": f"8/{4 * DIM}"}
+    # PQ ADC scan: recall@K of the planted dup from compressed codes,
+    # seed codebook vs one Lloyd step per subspace
+    for label, cb in (
+        ("seed", similarity.pq_codebook(df, n_subspaces=8, n_codes=16)),
+        ("lloyd1", ann_index.pq_codebook_refined(df, n_subspaces=8, n_codes=16, refine=1)),
+    ):
+        hits = 0
+        for q, qv in qvecs.items():
+            ids = {int(r["vec_id"]) for r in similarity.pq_topk(df, qv, cb, k=K).collect()}
+            if N_BASE + q in ids:
+                hits += 1
+        out[f"pq_adc_8x16_{label}"] = {
+            "recall": round(hits / N_QUERIES, 3), "scan_frac": 1.0,
+            "bytes_per_vec_vs_exact": f"8/{4 * DIM}",
+        }
 
     spark.stop()
     print(json.dumps(out))

@@ -711,7 +711,7 @@ def _ann_ivf_topk(spark, sf):
     integer-cosine re-rank inside the probed inverted lists."""
     q = _quantized(spark, sf)
     cents = ann_index.ivf_refine(
-        q, similarity.ivf_seed_centroids(q, IVF_LISTS), iters=1
+        q, similarity.ivf_seed_centroids(q, IVF_LISTS), iters=1, dim=EMB_DIM
     ).localCheckpoint()
     return similarity.ivf_topk(
         q, _query_qvec(spark, sf), k=10,
@@ -1284,6 +1284,7 @@ def _ann_ivf_sql() -> str:
                    -2 * CAST(list_dot_product(v.qv, c.cv) AS BIGINT)
                      + CAST(list_dot_product(c.cv, c.cv) AS BIGINT) AS score
             FROM q v, seeds c
+            WHERE v.qv IS NOT NULL AND len(v.qv) = {EMB_DIM}
         ),
         a0 AS (
             SELECT vec_id, cid FROM (
@@ -1355,6 +1356,7 @@ def _ann_pq_sql() -> str:
                    -2 * CAST(list_dot_product(v.qv{vsl}, w.cw) AS BIGINT)
                      + CAST(list_dot_product(w.cw, w.cw) AS BIGINT) AS score
             FROM q v, w0 w
+            WHERE v.qv IS NOT NULL AND len(v.qv) = {EMB_DIM}
         ),
         a0 AS (
             SELECT vec_id, m, k FROM (

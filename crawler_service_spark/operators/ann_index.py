@@ -62,6 +62,7 @@ def ivf_refine(
     sample_mod: int = 1,
     id_col: str = "vec_id",
     qv_col: str = "qv",
+    dim: int | None = None,
 ) -> DataFrame:
     """``iters`` integer-exact Lloyd steps over a deterministic sample.
 
@@ -72,8 +73,18 @@ def ivf_refine(
     to ~9e15 rows at |v|<=1000). A cell with no sample members keeps its
     previous centroid. Returns the refined (cid, cv) frame — same shape as
     ``ivf_seed_centroids``, so it drops into ivf_assign/ivf_topk/the
-    persisted index unchanged."""
-    sample = _sample(quantized, sample_mod, id_col)
+    persisted index unchanged.
+
+    Dirty rows: NULL vectors (and, when ``dim`` is given, wrong-length
+    vectors) are excluded from the refinement means — the same rows a
+    cross-engine oracle must exclude with ``qv IS NOT NULL AND len(qv) =
+    dim``; counting them would skew the integer means (SQL sum() skips NULL
+    components while count(*) would not)."""
+    sample = _sample(quantized, sample_mod, id_col).filter(
+        F.col(qv_col).isNotNull()
+    )
+    if dim is not None:
+        sample = sample.filter(F.size(qv_col) == dim)
     for _ in range(iters):
         assigned = similarity.ivf_assign(
             sample, id_col=id_col, qv_col=qv_col, centroids=centroids
@@ -100,6 +111,14 @@ def ivf_refine(
     return centroids
 
 
+def _build_commit_id(catalog: ManifestCatalog, table: str) -> str:
+    """Rebuild-safe build commit id: numbered by the table's manifest count,
+    so calling build_* again (e.g. on a grown corpus) OVERWRITES the live
+    index instead of silently no-opping on a fixed id, while a crashed build
+    retried immediately converges (same count -> same id -> overwrite)."""
+    return f"build-{len(catalog.commits(table))}"
+
+
 def build_ivf_index(
     catalog: ManifestCatalog,
     quantized: DataFrame,
@@ -112,8 +131,8 @@ def build_ivf_index(
 ) -> None:
     """One-time index build: seed + refine centroids, assign the whole corpus,
     commit both tables. The lists table is hive-partitioned on ``list_id`` so
-    probed queries prune unprobed lists at the file-listing level. Idempotent
-    (catalog commit ids are fixed); rebuilds go through ``overwrite``."""
+    probed queries prune unprobed lists at the file-listing level. Re-running
+    rebuilds (overwrite commits — never a silent no-op on an existing id)."""
     cents = similarity.ivf_seed_centroids(quantized, n_lists, id_col, qv_col)
     if refine > 0:
         cents = ivf_refine(
@@ -123,14 +142,18 @@ def build_ivf_index(
     # pin the (tiny, K-row) refined centroids so the corpus-wide assignment
     # below doesn't re-run the refinement lineage per partition
     cents = cents.localCheckpoint()
-    catalog.commit(f"{prefix}_centroids", cents, "build", mode="overwrite")
+    catalog.commit(
+        f"{prefix}_centroids", cents,
+        _build_commit_id(catalog, f"{prefix}_centroids"), mode="overwrite",
+    )
     assigned = similarity.ivf_assign(
         quantized, id_col=id_col, qv_col=qv_col, centroids=cents
     ).select(
         F.col(id_col).alias("vec_id"), F.col(qv_col).alias("qv"), "list_id"
     )
     catalog.commit(
-        f"{prefix}_lists", assigned, "build", mode="overwrite",
+        f"{prefix}_lists", assigned,
+        _build_commit_id(catalog, f"{prefix}_lists"), mode="overwrite",
         partition_by=["list_id"],
     )
 
@@ -208,7 +231,12 @@ def pq_codebook_refined(
     ``div(sum(x_m[d]), count)`` over its assigned subvectors; an unused
     codeword keeps its previous value. The update aggregation is one
     (m, k, d) groupBy over posexploded subvectors — n*dim rows per step,
-    run on the deterministic sample at scale."""
+    run on the deterministic sample at scale.
+
+    Dirty rows: NULL/wrong-length vectors encode to NULL codes
+    (pq_encode_udf) and therefore drop out of the refinement means — a
+    cross-engine oracle must mirror this with ``qv IS NOT NULL AND
+    len(qv) = dim`` on its refinement CTEs."""
     cb = similarity.pq_codebook(
         quantized, n_subspaces=n_subspaces, n_codes=n_codes,
         id_col=id_col, qv_col=qv_col,
@@ -267,14 +295,17 @@ def build_pq_index(
     catalog.commit(
         f"{prefix}_codebook",
         spark.createDataFrame(cb_rows, CODEBOOK_SCHEMA),
-        "build",
+        _build_commit_id(catalog, f"{prefix}_codebook"),
         mode="overwrite",
     )
     codes = quantized.select(
         F.col(id_col).alias("vec_id"),
         similarity.pq_encode_udf(cb)(F.col(qv_col)).alias("codes"),
     )
-    catalog.commit(f"{prefix}_codes", codes, "build", mode="overwrite")
+    catalog.commit(
+        f"{prefix}_codes", codes,
+        _build_commit_id(catalog, f"{prefix}_codes"), mode="overwrite",
+    )
     return cb
 
 
@@ -317,26 +348,7 @@ def pq_topk_indexed(
     row read — never the corpus vectors), TakeOrderedAndProject. The plan
     must show a scan of ``<prefix>_codes`` only — no corpus re-encode."""
     cb = read_pq_codebook(catalog, prefix)
-    sub = len(cb[0][0])
-    lut = [
-        [sum(a * b for a, b in zip(qvec[m * sub : (m + 1) * sub], w)) for w in words]
-        for m, words in enumerate(cb)
-    ]
     codes = catalog.read(f"{prefix}_codes", schema=CODES_SCHEMA)
     if codes is None:
         raise ValueError(f"no {prefix}_codes table — run build_pq_index first")
-    score = sum(
-        (
-            F.element_at(
-                F.array(*[F.lit(v) for v in lut[m]]),
-                F.element_at(F.col("codes"), m + 1) + 1,
-            )
-            for m in range(len(cb))
-        ),
-        F.lit(0),
-    ).cast("long")
-    return (
-        codes.select("vec_id", score.alias("approx_dot"))
-        .orderBy(F.col("approx_dot").desc(), F.col("vec_id").asc())
-        .limit(k)
-    )
+    return similarity.pq_adc_topk(codes, cb, qvec, k=k)

@@ -96,6 +96,21 @@ def extract_byte_features(media: DataFrame) -> DataFrame:
     return widen(media).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def _gather_dims(pdf: pd.DataFrame):
+    """Shared batch prologue of the stand-in decoder/resizer: concatenate all
+    payloads into one buffer (empty/None rows fall back to b"\\x00\\x00"),
+    derive per-row lens/starts, and the stand-in width/height from the first
+    and last payload bytes — two gathers, no per-row Python arithmetic."""
+    nrows = len(pdf)
+    payloads = [p if p else b"\x00\x00" for p in pdf["payload"]]
+    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=nrows)
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    w = 16 + (buf[starts].astype(np.int64) % 64) * 16
+    h = 16 + (buf[starts + lens - 1].astype(np.int64) % 64) * 16
+    return lens, buf, starts, w, h
+
+
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -127,16 +142,10 @@ def decode_media(media: DataFrame, fake_decode: bool = False) -> DataFrame:
             nrows = len(pdf)
             if nrows == 0:
                 continue
-            # vectorized like extract_byte_features: one shared buffer, the
-            # per-row first/last bytes come from two gathers — the template a
-            # real codec drop-in should follow (decode headers batch-wise,
-            # never loop rows in Python)
-            payloads = [p if p else b"\x00\x00" for p in pdf["payload"]]
-            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=nrows)
-            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
-            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            w = 16 + (buf[starts].astype(np.int64) % 64) * 16
-            h = 16 + (buf[starts + lens - 1].astype(np.int64) % 64) * 16
+            # vectorized like extract_byte_features — the template a real
+            # codec drop-in should follow (decode headers batch-wise, never
+            # loop rows in Python)
+            lens, _buf, _starts, w, h = _gather_dims(pdf)
             is_image = (pdf["kind"] == "image").to_numpy()
             ch = np.where(is_image, 3, 1).astype(np.int32)
             frames = np.where(is_image, 1, 1 + lens // 1024).astype(np.int32)
@@ -195,12 +204,7 @@ def resize_media(
             # position from one arange — the only per-row step left is
             # slicing the contiguous result into per-row bytes objects
             # (which any real encoder also pays when materializing outputs)
-            payloads = [p if p else b"\x00\x00" for p in pdf["payload"]]
-            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=nrows)
-            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
-            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            w = 16 + (buf[starts].astype(np.int64) % 64) * 16
-            h = 16 + (buf[starts + lens - 1].astype(np.int64) % 64) * 16
+            lens, buf, starts, w, h = _gather_dims(pdf)
             # integer round-half-up area ratio: deterministic AND
             # SQL-expressible (float round() ties differ across engines)
             target = target_w * target_h

@@ -603,17 +603,32 @@ def pq_topk(
     the 32x scan-compression lever the ANN family was missing. (The all-JVM
     encode ``pq_encode_cols`` is kept as the expression-level reference; its
     M*K nested aggregates are ~20x slower than the batch matmul at sf0.1.)"""
+    codes = quantized.select(id_col, pq_encode_udf(codebook)(F.col(qv_col)).alias("codes"))
+    return pq_adc_topk(codes, codebook, qvec, k=k, id_col=id_col)
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: list[list[list[int]]],
+    qvec: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """ADC scoring over an already-encoded (id, codes) frame — the shared
+    scan kernel of pq_topk (encode-then-score) and ann_index.pq_topk_indexed
+    (persisted codes table): driver-side M*K LUT, JVM lookup sum,
+    TakeOrderedAndProject."""
     sub = len(codebook[0][0])
     lut = [
         [sum(a * b for a, b in zip(qvec[m * sub : (m + 1) * sub], w)) for w in words]
         for m, words in enumerate(codebook)
     ]
-    codes = quantized.select(id_col, pq_encode_udf(codebook)(F.col(qv_col)).alias("codes"))
     score = sum(
         (
             F.element_at(
                 F.array(*[F.lit(v) for v in lut[m]]),
-                F.element_at(F.col("codes"), m + 1) + 1,
+                F.element_at(F.col(codes_col), m + 1) + 1,
             )
             for m in range(len(codebook))
         ),

@@ -205,8 +205,11 @@ class ManifestCatalog:
         entries = self._active_entries(table, upto, exclude_commit)
         if not entries:
             return None
+        # an explicit caller schema beats the cache: the cache may hold an
+        # INFERRED schema from an earlier plain read (e.g. a partition column
+        # typed int by discovery where the caller declares long)
         cached = self._schemas.get(table)
-        use_schema = cached if cached is not None else schema
+        use_schema = schema if schema is not None else cached
 
         def _reader():
             r = self.spark.read
@@ -269,7 +272,9 @@ class ManifestCatalog:
             out.append((m["commit_id"], m["mode"]))
         return out
 
-    def compact(self, table: str, commit_id: str, files: int | None = None) -> bool:
+    def compact(
+        self, table: str, commit_id: str, files: int | None = None, schema=None
+    ) -> bool:
         """Rewrite the table's current snapshot as ONE overwrite commit.
 
         Long crawls append thousands of tiny per-iteration commits to
@@ -277,9 +282,10 @@ class ManifestCatalog:
         per-file open cost. Compaction folds them into a single commit
         (Iceberg's rewrite_data_files analogue). Snapshot isolation is
         preserved: older ``upto=`` reads still replay the pre-compaction
-        manifest chain untouched.
+        manifest chain untouched. Pass ``schema`` when the table's visible
+        commits may all be empty (nothing to infer from).
         """
-        df = self.read(table)
+        df = self.read(table, schema=schema)
         if df is None:
             return False
         return self.commit(table, df, commit_id, mode="overwrite", coalesce=files)

@@ -47,6 +47,24 @@ DUP_SCHEMA = "doc_id long, dup_of long, jaccard_permille long"
 _TABLES = (("docs", DOC_SCHEMA), ("buckets", _EMPTY_BUCKETS))
 
 
+def _reject_legacy_layout(root: str) -> None:
+    """The pre-catalog layout stored bare ``batch-*`` parquet subdirs under
+    docs/ and buckets/. Reading such an index through the catalog would
+    silently return EMPTY (no manifests), every pre-upgrade doc would stop
+    deduplicating, and nothing would error — so detect it and refuse loudly."""
+    for sub in ("docs", "buckets", "."):
+        d = os.path.normpath(os.path.join(root, sub))
+        if not os.path.isdir(d) or os.path.isdir(os.path.join(d, "_manifests")):
+            continue
+        if any(e.startswith("batch-") for e in os.listdir(d)):
+            raise RuntimeError(
+                f"{d} holds a legacy batch-* near-dup index (pre-catalog "
+                "layout). Re-ingest the corpus through neardup_stream into a "
+                "fresh index_dir (the catalog manifests cannot be "
+                "reconstructed from bare directories)."
+            )
+
+
 def _read_or_empty(
     cat: ManifestCatalog,
     spark: SparkSession,
@@ -70,6 +88,7 @@ def neardup_stream(
     n: int = 3,
 ) -> None:
     """Drain available doc files through the rolling index-dedup gate."""
+    _reject_legacy_layout(index_dir)
     index_cat = ManifestCatalog(index_dir, spark)
     dups_cat = ManifestCatalog(dups_dir, spark)
 
@@ -150,8 +169,18 @@ def _latest_log_id(d: str) -> int:
 def checkpoint_has_uncommitted_batch(checkpoint_dir: str) -> bool:
     """True when the Structured Streaming checkpoint's offsets log is ahead
     of its commits log — i.e. a batch was planned but its completion never
-    recorded, so the engine WILL replay it on the next start."""
-    return _latest_log_id(os.path.join(checkpoint_dir, "offsets")) > _latest_log_id(
+    recorded, so the engine WILL replay it on the next start.
+
+    A path with no offsets log at all is NOT treated as quiesced — a typo'd
+    or relocated checkpoint_dir would otherwise silently disable the guard
+    this function exists to enforce."""
+    offsets_dir = os.path.join(checkpoint_dir, "offsets")
+    if not os.path.isdir(offsets_dir):
+        raise ValueError(
+            f"{checkpoint_dir} is not a streaming checkpoint (no offsets log) "
+            "— pass the checkpoint_dir the stream actually ran with"
+        )
+    return _latest_log_id(offsets_dir) > _latest_log_id(
         os.path.join(checkpoint_dir, "commits")
     )
 
@@ -176,18 +205,20 @@ def compact_index(spark: SparkSession, index_dir: str, checkpoint_dir: str) -> i
         )
     cat = ManifestCatalog(index_dir, spark)
     folded = 0
-    for table, _schema in _TABLES:
+    for table, schema in _TABLES:
         modes = cat.commit_modes(table)
         last_ow = max(
             (i for i, (_c, m) in enumerate(modes) if m == "overwrite"), default=-1
         )
-        active = len(modes) - 1 - last_ow
+        # data dirs in the current snapshot: the last overwrite (if any) plus
+        # every append after it
+        active = len(modes) - last_ow if last_ow >= 0 else len(modes)
         if active <= 1:
             continue
         # deterministic commit id: a crash after data-write but before the
         # manifest rename retries under the same id; a completed compaction
         # leaves active == 1 so the next call is a no-op
-        cat.compact(table, f"compact-{len(modes)}", files=1)
+        cat.compact(table, f"compact-{len(modes)}", files=1, schema=schema)
         folded += active
     return folded
 

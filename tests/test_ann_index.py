@@ -103,6 +103,16 @@ def test_ivf_index_build_query_append(spark, ann_vectors, tmp_path):
     assert ann_index.ivf_append(cat, new, commit_id="delta-1") is False
     assert got.count() == 10
 
+    # REBUILD on the grown corpus must overwrite, not silently no-op: the
+    # full-corpus centroids differ from the 300-vector build's
+    ann_index.build_ivf_index(cat, df, n_lists=8, refine=1)
+    rebuilt = spark.createDataFrame(
+        ann_index.read_ivf_centroids(cat), "cid long, cv array<long>"
+    )
+    want2 = similarity.ivf_topk(df, qvec, k=10, n_probe=2, centroids=rebuilt)
+    got2 = ann_index.ivf_topk_indexed(cat, qvec, k=10, n_probe=2)
+    assert [tuple(r) for r in got2.collect()] == [tuple(r) for r in want2.collect()]
+
 
 def test_pq_refined_codebook_matches_numpy_reference(spark, ann_vectors):
     """One PQ Lloyd step per subspace == encode + per-dim truncating-div
@@ -152,3 +162,10 @@ def test_pq_index_build_query_append(spark, ann_vectors, tmp_path):
 
     want = similarity.pq_topk(df, qvec, built_cb, k=10)
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    # REBUILD on the grown corpus must persist the NEW codebook + codes
+    cb2 = ann_index.build_pq_index(cat, df, n_subspaces=8, n_codes=16, refine=1)
+    assert ann_index.read_pq_codebook(cat) == cb2
+    got2 = ann_index.pq_topk_indexed(cat, qvec, k=10)
+    want2 = similarity.pq_topk(df, qvec, cb2, k=10)
+    assert [tuple(r) for r in got2.collect()] == [tuple(r) for r in want2.collect()]

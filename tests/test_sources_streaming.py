@@ -322,6 +322,10 @@ def test_streaming_neardup_index_compaction(spark, tmp_path):
     neardup_stream(spark, in_dir, idx, dups, ckpt)
     d = {(r["doc_id"], r["dup_of"]) for r in read_dups(spark, dups).collect()}
     assert (9, 2) in d
+    # an append AFTER a compaction folds with the overwrite itself (the
+    # active count includes the overwrite's data dir): 2 dirs per table
+    assert compact_index(spark, idx, ckpt) == 4
+    assert sorted(tuple(r) for r in read_index_docs(spark, idx).collect()) == before
 
 
 def test_streaming_neardup_compaction_guard(spark, tmp_path):
@@ -354,4 +358,29 @@ def test_streaming_neardup_compaction_guard(spark, tmp_path):
     with pytest.raises(RuntimeError, match="uncommitted batch"):
         compact_index(spark, idx, ckpt)
     os.remove(os.path.join(ckpt, "offsets", str(nxt)))
+
+    # a typo'd / nonexistent checkpoint path must not silently pass the guard
+    with pytest.raises(ValueError, match="not a streaming checkpoint"):
+        compact_index(spark, idx, str(tmp_path / "no_such_ckpt"))
+
     assert compact_index(spark, idx, ckpt) > 0, "quiesced checkpoint folds fine"
+
+
+def test_streaming_neardup_rejects_legacy_layout(spark, tmp_path):
+    """A pre-catalog index (bare batch-* subdirs, no manifests) must error
+    loudly instead of silently deduping against an empty index."""
+    import pytest
+
+    from crawler_service_spark.streaming import neardup_stream
+
+    idx = str(tmp_path / "legacy_index")
+    os.makedirs(os.path.join(idx, "docs", "batch-0"))
+    in_dir = str(tmp_path / "l_docs")
+    os.makedirs(in_dir)
+    spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string").write.parquet(
+        in_dir, mode="overwrite"
+    )
+    with pytest.raises(RuntimeError, match="legacy"):
+        neardup_stream(
+            spark, in_dir, idx, str(tmp_path / "l_dups"), str(tmp_path / "l_ckpt")
+        )

@@ -13,6 +13,9 @@ bucket index already has (``docdedup.minhash_incremental_dups`` +
 - **PQ**: ``<prefix>_codebook`` (M*K rows: m, k, cw) + ``<prefix>_codes``
   (vec_id, codes array<int> — M bytes of payload per vector), the
   compressed-domain table an ADC scan reads INSTEAD of the corpus.
+- **LSH**: ``<prefix>_meta`` (one row: the deterministic plane contract) +
+  ``<prefix>_buckets`` hive-partitioned on the packed sign-bit ``bucket`` —
+  multi-probe queries scan only the probed buckets' partitions.
 
 Both quantizers support integer-exact **Lloyd refinement** (``refine``
 iterations over a deterministic ``sample_mod`` row sample): assignment under
@@ -209,6 +212,111 @@ def ivf_topk_indexed(
     return similarity.int_cosine_topk(
         lists.filter(F.col("list_id").isin(probes)), qvec, k=k
     )
+
+
+# --------------------------------------------------------------------------- #
+# LSH
+# --------------------------------------------------------------------------- #
+
+LSH_SCHEMA = "vec_id long, qv array<long>, bucket long"
+LSH_META_SCHEMA = "dim int, n_planes int, tag string"
+
+
+def build_lsh_index(
+    catalog: ManifestCatalog,
+    quantized: DataFrame,
+    n_planes: int = 8,
+    tag: str = "plane",
+    prefix: str = "lsh",
+    id_col: str = "vec_id",
+    qv_col: str = "qv",
+) -> None:
+    """Persisted integer-LSH bucket index: the corpus with its packed
+    sign-bit bucket, hive-partitioned on ``bucket`` so a (multi-)probe query
+    prunes 2^n_planes - |probes| partitions off the scan. The hyperplanes
+    are NOT stored — they are a pure function of (dim, n_planes, tag) under
+    the md5-prefix contract (similarity.int_planes), so only that tiny meta
+    row is persisted and append/query re-derive identical planes.
+
+    ``partition_by=["bucket"]`` means 2^n_planes directories per commit —
+    right for the coarse probe tier (n_planes <= ~12); finer signatures
+    belong in the banded (band, key) layout of lsh_neardup_pairs instead.
+    """
+    first = quantized.select(F.size(qv_col).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot build an LSH index over an empty corpus")
+    dim = int(first["d"])
+    planes = similarity.int_planes(dim, n_planes, tag=tag)
+    spark = quantized.sparkSession
+    catalog.commit(
+        f"{prefix}_meta",
+        spark.createDataFrame([(dim, n_planes, tag)], LSH_META_SCHEMA),
+        _build_commit_id(catalog, f"{prefix}_meta"),
+        mode="overwrite",
+    )
+    bucketed = quantized.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(qv_col).alias("qv"),
+        similarity.int_lsh_bucket_col(F.col(qv_col), planes).alias("bucket"),
+    )
+    catalog.commit(
+        f"{prefix}_buckets", bucketed,
+        _build_commit_id(catalog, f"{prefix}_buckets"), mode="overwrite",
+        partition_by=["bucket"],
+    )
+
+
+def _read_lsh_planes(catalog: ManifestCatalog, prefix: str) -> list[list[int]]:
+    rows = catalog.read(f"{prefix}_meta", schema=LSH_META_SCHEMA)
+    if rows is None:
+        raise ValueError(f"no {prefix}_meta table — run build_lsh_index first")
+    m = rows.collect()[0]
+    return similarity.int_planes(int(m["dim"]), int(m["n_planes"]), tag=m["tag"])
+
+
+def lsh_append(
+    catalog: ManifestCatalog,
+    new_vectors: DataFrame,
+    commit_id: str,
+    prefix: str = "lsh",
+    id_col: str = "vec_id",
+    qv_col: str = "qv",
+) -> bool:
+    """Bucket NEW vectors under the frozen plane contract and append one
+    commit (idempotent per commit_id)."""
+    planes = _read_lsh_planes(catalog, prefix)
+    bucketed = new_vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(qv_col).alias("qv"),
+        similarity.int_lsh_bucket_col(F.col(qv_col), planes).alias("bucket"),
+    )
+    return catalog.commit(
+        f"{prefix}_buckets", bucketed, commit_id, partition_by=["bucket"]
+    )
+
+
+def lsh_topk_indexed(
+    catalog: ManifestCatalog,
+    qvec: list[int],
+    k: int = 10,
+    probe_radius: int = 0,
+    prefix: str = "lsh",
+) -> DataFrame:
+    """(Multi-probe) LSH ANN against the PERSISTED bucket index: probe
+    buckets from the stored plane contract, scan only their partitions
+    (PartitionFilters on ``bucket``), exact integer-cosine re-rank inside —
+    the corpus' buckets are never recomputed at query time."""
+    planes = _read_lsh_planes(catalog, prefix)
+    probes = similarity.probe_buckets_py(qvec, planes, probe_radius)
+    buckets = catalog.read(f"{prefix}_buckets", schema=LSH_SCHEMA)
+    if buckets is None:
+        raise ValueError(f"no {prefix}_buckets table — run build_lsh_index first")
+    cond = (
+        F.col("bucket") == probes[0]
+        if len(probes) == 1
+        else F.col("bucket").isin(probes)
+    )
+    return similarity.int_cosine_topk(buckets.filter(cond), qvec, k=k)
 
 
 # --------------------------------------------------------------------------- #

@@ -114,6 +114,33 @@ def test_ivf_index_build_query_append(spark, ann_vectors, tmp_path):
     assert [tuple(r) for r in got2.collect()] == [tuple(r) for r in want2.collect()]
 
 
+def test_lsh_index_build_query_append(spark, ann_vectors, tmp_path):
+    """build -> indexed (multi-)probe query == convenience int_lsh_topk;
+    append buckets new vectors under the frozen plane contract; the scan is
+    partition-pruned on bucket."""
+    df, q = ann_vectors
+    old = df.filter(F.col("vec_id") < 300)
+    new = df.filter(F.col("vec_id") >= 300)
+    cat = ManifestCatalog(str(tmp_path / "lshidx"), spark)
+    ann_index.build_lsh_index(cat, old, n_planes=8)
+    ann_index.lsh_append(cat, new, commit_id="delta-1")
+
+    qvec = q[5]
+    for radius in (0, 1):
+        got = ann_index.lsh_topk_indexed(cat, qvec, k=10, probe_radius=radius)
+        if radius == 0:
+            plan = got._sc._jvm.PythonSQLUtils.explainString(
+                got._jdf.queryExecution(), "simple"
+            )
+            assert "PartitionFilters" in plan and "bucket" in plan
+        want = similarity.int_lsh_topk(
+            df, qvec, k=10, n_planes=8, probe_radius=radius
+        )
+        assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    assert ann_index.lsh_append(cat, new, commit_id="delta-1") is False
+
+
 def test_pq_refined_codebook_matches_numpy_reference(spark, ann_vectors):
     """One PQ Lloyd step per subspace == encode + per-dim truncating-div
     codeword means, unused codewords keeping their seed."""

@@ -125,8 +125,21 @@ def main() -> int:
             failures.append(("ivf_topk_indexed", why))
             print(f"FAIL ivf_topk_indexed: {why}")
             print(ivf_plan)
+        ann_index.build_lsh_index(cat, qdf, n_planes=8)
+        lsh_plan = formatted(ann_index.lsh_topk_indexed(cat, qvec, k=10, probe_radius=1))
+        why = "probed buckets prune partitions"
+        if re.search(r"PartitionFilters: \[[^\]]*bucket", lsh_plan):
+            print(f"OK   lsh_topk_indexed: {why}")
+        else:
+            failures.append(("lsh_topk_indexed", why))
+            print(f"FAIL lsh_topk_indexed: {why}")
+            print(lsh_plan)
         pq_plan = formatted(ann_index.pq_topk_indexed(cat, qvec, k=10))
-        for plan, name in ((ivf_plan, "ivf_topk_indexed"), (pq_plan, "pq_topk_indexed")):
+        for plan, name in (
+            (ivf_plan, "ivf_topk_indexed"),
+            (lsh_plan, "lsh_topk_indexed"),
+            (pq_plan, "pq_topk_indexed"),
+        ):
             bad = [m for m in ("ArrowEvalPython", "mapInPandas", "BatchEvalPython") if m in plan]
             if bad:
                 failures.append((name, f"re-encode stage in indexed scan: {bad}"))

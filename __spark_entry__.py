@@ -559,6 +559,42 @@ def _pipeline_retention_funnel(spark, sf):
     )
 
 
+def _pipeline_training_mix(spark, sf):
+    """End-to-end training-mix builder — the composition a pre-training
+    corpus run executes in one pass: Gopher quality gate -> exact-dedup
+    first-occurrence keeper -> benchmark decontamination vs the held-out
+    eval slice (doc_id % 17 == 0) -> per-language stratified hash sample.
+    Output = the sampled mix with per-doc token counts (what a tokenizer
+    shard ingests). Every stage is an already-oracle-checked operator; this
+    query checks their COMPOSITION end-to-end."""
+    d = _t(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    bench = d.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    g = textquality.gopher_quality(corpus).select("doc_id", "gopher_pass")
+    keepers = docdedup.exact_dedup(corpus).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    clean = (
+        docdedup.decontaminate(corpus, bench, n=3, min_overlap=DECON_MIN_OVERLAP)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    gated = (
+        corpus.join(g, "doc_id")
+        .filter(F.col("gopher_pass"))
+        .join(keepers, "doc_id", "semi")
+        .join(clean, "doc_id", "semi")
+    )
+    mix = sampling.stratified_sample(
+        gated, SAMPLE_RATES, strata_col="lang",
+        default_permille=SAMPLE_DEFAULT, salt=SAMPLE_SALT,
+    )
+    return mix.select(
+        "doc_id", "lang", "source",
+        F.size(textquality.tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+
 SESSION_GAP_S = 3600
 
 
@@ -850,7 +886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
-        "dedup_minhash_verified": _dedup_minhash_verified,
+        # new round 4 -> must land in-window its introduction round
+        "pipeline_training_mix": _pipeline_training_mix,
         # changed round 4 (broadcast escape hatch) -> must stay in-window
         "dedup_incremental": _dedup_incremental,
         "dedup_embedding_pairs": _dedup_embedding_pairs,
@@ -859,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed round 4 (overflow-safe idf scaling) -> must stay in-window
         "text_keyword_topk": _text_keyword_topk,
         # -- tail (positions 51+): r03 green rows banked, unchanged round 4 -
+        "dedup_minhash_verified": _dedup_minhash_verified,
         "dedup_simhash": _dedup_simhash,
         "dedup_chunks": _dedup_chunks,
         "dedup_minhash_cluster": _dedup_minhash_cluster,
@@ -1865,6 +1903,65 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ov USING (doc_id)
         """,
         "text_keyword_topk": _keyword_topk_sql(),
+        "pipeline_training_mix": f"""
+            WITH corpus AS (
+                SELECT doc_id, lang, source, text FROM documents
+                WHERE doc_id % {DECON_BENCH_MOD} <> 0
+            ),
+            c AS (
+                SELECT doc_id,
+                       CAST(len({_TOKS}) AS BIGINT) AS word_count,
+                       CAST(CASE WHEN len({_TOKS}) > 0
+                            THEN (1000 * list_sum(list_transform({_TOKS}, x -> length(x)))) // len({_TOKS})
+                            ELSE 0 END AS BIGINT) AS mean_word_len_millis,
+                       CAST(CASE WHEN len({_TOKS}) > 0
+                            THEN (1000 * len(list_filter({_TOKS}, x -> regexp_matches(x, '[a-z]')))) // len({_TOKS})
+                            ELSE 0 END AS BIGINT) AS alpha_word_permille,
+                       CAST({" + ".join(f"len(list_filter({_TOKS}, x -> x = '{w}'))" for w in textquality.LANG_MARKERS["en"])} AS BIGINT) AS stopword_hits
+                FROM corpus
+            ),
+            q AS (
+                SELECT doc_id FROM c
+                WHERE word_count >= 50 AND word_count <= 100000
+                  AND mean_word_len_millis >= 3000 AND mean_word_len_millis <= 10000
+                  AND alpha_word_permille >= 800 AND stopword_hits >= 2
+            ),
+            keepers AS (
+                SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+            ),
+            bench_sh AS (
+                SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS shingle
+                FROM (SELECT doc_id, {_TOKS} AS t FROM documents
+                      WHERE doc_id % {DECON_BENCH_MOD} = 0),
+                     unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+                WHERE len(t) >= 3
+            ),
+            corp_sh AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+                FROM (SELECT doc_id, {_TOKS} AS t FROM corpus),
+                     unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+                WHERE len(t) >= 3
+            ),
+            ov AS (
+                SELECT doc_id, count(*) AS n
+                FROM corp_sh JOIN bench_sh USING (shingle) GROUP BY doc_id
+            ),
+            clean AS (
+                SELECT corpus.doc_id FROM corpus LEFT JOIN ov USING (doc_id)
+                WHERE coalesce(ov.n, 0) < {DECON_MIN_OVERLAP}
+            ),
+            gated AS (
+                SELECT corpus.* FROM corpus
+                JOIN q USING (doc_id)
+                JOIN keepers USING (doc_id)
+                JOIN clean USING (doc_id)
+            )
+            SELECT doc_id, lang, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM gated
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':{SAMPLE_SALT}'), 1, 8))::BIGINT % 1000
+                  < CASE {' '.join(f"WHEN lang = '{s}' THEN {r}" for s, r in sorted(SAMPLE_RATES.items()))}
+                         ELSE {SAMPLE_DEFAULT} END
+        """,
         "pipeline_sample_mix": f"""
             SELECT doc_id, lang, source FROM documents
             WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':{SAMPLE_SALT}'), 1, 8))::BIGINT % 1000

@@ -54,6 +54,7 @@ HEADLINE_QUERIES = [
     "text_decontaminate",
     "text_keyword_topk",
     "pipeline_sample_mix",
+    "pipeline_training_mix",
     "sessionize_events",
     "dedup_embedding_lsh",
     "ann_dot_topk",

@@ -559,14 +559,21 @@ def _pipeline_retention_funnel(spark, sf):
     )
 
 
+TMIX_NGRAM = 5        # 5-gram decontamination: trigrams false-positive on the
+TMIX_MIN_OVERLAP = 8  # synthetic corpus' shared template phrases at sf >= 0.1
+
+
 def _pipeline_training_mix(spark, sf):
     """End-to-end training-mix builder — the composition a pre-training
     corpus run executes in one pass: Gopher quality gate -> exact-dedup
     first-occurrence keeper -> benchmark decontamination vs the held-out
-    eval slice (doc_id % 17 == 0) -> per-language stratified hash sample.
-    Output = the sampled mix with per-doc token counts (what a tokenizer
-    shard ingests). Every stage is an already-oracle-checked operator; this
-    query checks their COMPOSITION end-to-end."""
+    eval slice (doc_id % 17 == 0; 5-gram shingles, overlap >= 8 — the
+    coarser trigram/3 setting of the standalone text_decontaminate query
+    false-positives on template phrases and empties the mix at sf0.1) ->
+    per-language stratified hash sample. Output = the sampled mix with
+    per-doc token counts (what a tokenizer shard ingests). Every stage is an
+    already-oracle-checked operator; this query checks their COMPOSITION
+    end-to-end."""
     d = _t(spark, sf, "documents")
     corpus = d.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
     bench = d.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
@@ -575,7 +582,9 @@ def _pipeline_training_mix(spark, sf):
         F.col("keep_doc_id").alias("doc_id")
     )
     clean = (
-        docdedup.decontaminate(corpus, bench, n=3, min_overlap=DECON_MIN_OVERLAP)
+        docdedup.decontaminate(
+            corpus, bench, n=TMIX_NGRAM, min_overlap=TMIX_MIN_OVERLAP
+        )
         .filter(~F.col("contaminated"))
         .select("doc_id")
     )
@@ -1930,17 +1939,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
             ),
             bench_sh AS (
-                SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS shingle
+                SELECT DISTINCT array_to_string(t[i:i+{TMIX_NGRAM - 1}], ' ') AS shingle
                 FROM (SELECT doc_id, {_TOKS} AS t FROM documents
                       WHERE doc_id % {DECON_BENCH_MOD} = 0),
-                     unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
-                WHERE len(t) >= 3
+                     unnest(range(1, greatest(len(t) - {TMIX_NGRAM - 2}, 1))) AS u(i)
+                WHERE len(t) >= {TMIX_NGRAM}
             ),
             corp_sh AS (
-                SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+{TMIX_NGRAM - 1}], ' ') AS shingle
                 FROM (SELECT doc_id, {_TOKS} AS t FROM corpus),
-                     unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
-                WHERE len(t) >= 3
+                     unnest(range(1, greatest(len(t) - {TMIX_NGRAM - 2}, 1))) AS u(i)
+                WHERE len(t) >= {TMIX_NGRAM}
             ),
             ov AS (
                 SELECT doc_id, count(*) AS n
@@ -1948,7 +1957,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             clean AS (
                 SELECT corpus.doc_id FROM corpus LEFT JOIN ov USING (doc_id)
-                WHERE coalesce(ov.n, 0) < {DECON_MIN_OVERLAP}
+                WHERE coalesce(ov.n, 0) < {TMIX_MIN_OVERLAP}
             ),
             gated AS (
                 SELECT corpus.* FROM corpus

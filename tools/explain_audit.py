@@ -74,6 +74,10 @@ CLAIMS = {
     "sessionize_events": [
         (r"Window", "lag/sum windows share one user_id shuffle"),
     ],
+    "pipeline_training_mix": [
+        (r"BroadcastHashJoin", "eval-shingle set + semi joins broadcast"),
+        (r"PushedFilters: \[.*doc_id", "bench/corpus split pushed to the scan"),
+    ],
 }
 
 

@@ -51,26 +51,39 @@ def _np_assign(vecs: list[list[int]], cents: list[tuple[int, list[int]]]) -> lis
     return out
 
 
-def test_ivf_refine_matches_numpy_reference(spark, ann_vectors):
-    """One Lloyd step == assign-to-nearest + per-dim truncating-div means,
-    empty cells keeping their seed — computed independently in pure Python."""
-    df, q = ann_vectors
-    seeds = [(i, q[i]) for i in range(8)]
-    assigned = _np_assign(q, seeds)
-    want = {}
-    for cid, cv in seeds:
-        members = [q[i] for i, a in enumerate(assigned) if a == cid]
+def _np_lloyd_step(
+    vecs: list[list[int]], cents: list[tuple[int, list[int]]]
+) -> list[tuple[int, list[int]]]:
+    """One pure-Python Lloyd step: assign-to-nearest + per-dim truncating-div
+    means, empty cells keeping their previous centroid."""
+    assigned = _np_assign(vecs, cents)
+    out = []
+    for cid, cv in cents:
+        members = [vecs[i] for i, a in enumerate(assigned) if a == cid]
         if members:
-            want[cid] = [
-                _trunc_div(sum(m[d] for m in members), len(members))
-                for d in range(len(cv))
-            ]
+            out.append(
+                (cid, [
+                    _trunc_div(sum(m[d] for m in members), len(members))
+                    for d in range(len(cv))
+                ])
+            )
         else:
-            want[cid] = cv
+            out.append((cid, cv))
+    return out
+
+
+@pytest.mark.parametrize("iters", [1, 2])
+def test_ivf_refine_matches_numpy_reference(spark, ann_vectors, iters):
+    """``iters`` Lloyd steps == the pure-Python twin iterated."""
+    df, q = ann_vectors
+    cents = [(i, q[i]) for i in range(8)]
+    for _ in range(iters):
+        cents = _np_lloyd_step(q, cents)
+    want = {cid: cv for cid, cv in cents}
     got = {
         int(r["cid"]): [int(x) for x in r["cv"]]
         for r in ann_index.ivf_refine(
-            df, similarity.ivf_seed_centroids(df, 8), iters=1
+            df, similarity.ivf_seed_centroids(df, 8), iters=iters
         ).collect()
     }
     assert got == want

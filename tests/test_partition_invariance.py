@@ -84,3 +84,41 @@ def test_doc_pipeline_ops_invariant_across_partitioning(spark):
     a = run(2, 1)
     b = run(7, 5)
     assert a == b
+
+
+def test_lloyd_and_mix_invariant_across_partitioning(spark):
+    """Round-4 additions are pure functions of the input set too: the Lloyd-
+    refined centroids/codebooks (integer means over a deterministic sample)
+    and the composed training-mix pipeline give identical results at
+    different shuffle partitioning and input layout."""
+    from pyspark.sql import functions as F
+
+    from crawler_service_spark.operators import ann_index, similarity
+
+    vec_rows = [
+        (i, [((i * 37 + j * 11) % 2001) - 1000 for j in range(16)]) for i in range(80)
+    ]
+
+    def run(n_parts: int, n_input: int):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        try:
+            vecs = spark.createDataFrame(
+                vec_rows, "vec_id long, qv array<long>"
+            ).repartition(n_input)
+            cents = ann_index.ivf_refine(
+                vecs, similarity.ivf_seed_centroids(vecs, 4), iters=2, dim=16
+            )
+            return {
+                "centroids": sorted(
+                    (int(r["cid"]), tuple(int(x) for x in r["cv"]))
+                    for r in cents.collect()
+                ),
+                "codebook": ann_index.pq_codebook_refined(
+                    vecs, n_subspaces=4, n_codes=8, refine=2
+                ),
+            }
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    assert run(2, 1) == run(7, 5)

@@ -841,12 +841,12 @@ def _multimodal_decode(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's CORRECTNESS order, and the driver caps
     the record at 50 rows per round — so ordering is a rotation policy, not
-    cosmetic (see REGISTRY.md). Round 4: the 11 queries displaced from the
-    r03 window (ANN + multimodal families and pipeline_sample_mix; the three
-    never-driver-checked ones first) lead, and 11 queries with banked r03
-    green rows and no round-4 behavior change sit in the tail positions
-    51-61. Any query whose semantics change in a round must be inside the
-    window that round."""
+    cosmetic (see REGISTRY.md). Round 4 (62 entries): the 11 queries
+    displaced from the r03 window (ANN + multimodal families and
+    pipeline_sample_mix; the three never-driver-checked ones first) lead,
+    the new pipeline_training_mix and the two behavior-changed queries sit
+    in-window, and 12 queries with banked r03 green rows and no round-4
+    behavior change fill tail positions 51-62."""
     return {
         # -- rotated in: never driver-checked in any round ------------------
         "ann_pq_topk": _ann_pq_topk,

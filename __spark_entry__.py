@@ -1425,10 +1425,15 @@ def _ann_pq_sql() -> str:
             FROM w0 LEFT JOIN w1 USING (m, k)
         ),
         s1 AS (
+            -- same dirty-row predicate as s0: Spark's pq_encode_udf maps
+            -- NULL/wrong-length vectors to NULL codes (dropped), so the twin
+            -- must exclude them from encoding too, not hand them arbitrary
+            -- codes and a real approx_dot
             SELECT v.vec_id, w.m, w.k,
                    -2 * CAST(list_dot_product(v.qv{vsl}, w.cw) AS BIGINT)
                      + CAST(list_dot_product(w.cw, w.cw) AS BIGINT) AS score
             FROM q v, wb w
+            WHERE v.qv IS NOT NULL AND len(v.qv) = {EMB_DIM}
         ),
         codes AS (
             SELECT vec_id, m, k FROM (

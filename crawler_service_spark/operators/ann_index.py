@@ -131,16 +131,38 @@ def build_ivf_index(
     prefix: str = "ivf",
     id_col: str = "vec_id",
     qv_col: str = "qv",
+    dim: int | None = None,
+    seed_mod: int = 1,
 ) -> None:
     """One-time index build: seed + refine centroids, assign the whole corpus,
     commit both tables. The lists table is hive-partitioned on ``list_id`` so
     probed queries prune unprobed lists at the file-listing level. Re-running
-    rebuilds (overwrite commits — never a silent no-op on an existing id)."""
-    cents = similarity.ivf_seed_centroids(quantized, n_lists, id_col, qv_col)
+    rebuilds (overwrite commits — never a silent no-op on an existing id).
+
+    Pass ``dim`` so wrong-length vectors are excluded from the refinement
+    means (ivf_refine's dirty-row contract) — without it a ragged vector
+    NULL-pads the refinement dots and skews assignment, diverging from the
+    cross-engine oracle that filters ``len(qv) = dim``.
+
+    ``seed_mod`` strides the SEED pool (smallest n_lists ids among rows with
+    ``id % seed_mod == 0``) — the rebuild lever after drifted appends: the
+    default smallest-id seeding samples only the oldest corpus region, so a
+    rebuild triggered by ``ivf_rebuild_needed`` would re-seed from exactly
+    the vectors that predate the drift and re-learn the stale layout. A
+    stride spanning the full id range places seeds inside appended regions
+    too, letting the refinement split their mass. Deterministic, so rebuilds
+    stay reproducible; the cross-engine oracle twin uses seed_mod=1."""
+    seed_pool = _sample(quantized, seed_mod, id_col)
+    cents = similarity.ivf_seed_centroids(seed_pool, n_lists, id_col, qv_col)
+    if seed_mod > 1 and cents.count() < n_lists:
+        raise ValueError(
+            f"seed_mod={seed_mod} leaves fewer than n_lists={n_lists} seed "
+            "candidates — lower the stride"
+        )
     if refine > 0:
         cents = ivf_refine(
             quantized, cents, iters=refine, sample_mod=sample_mod,
-            id_col=id_col, qv_col=qv_col,
+            id_col=id_col, qv_col=qv_col, dim=dim,
         )
     # pin the (tiny, K-row) refined centroids so the corpus-wide assignment
     # below doesn't re-run the refinement lineage per partition
@@ -175,10 +197,19 @@ def ivf_append(
     prefix: str = "ivf",
     id_col: str = "vec_id",
     qv_col: str = "qv",
+    rebuild_threshold_millis: int | None = None,
 ) -> bool:
     """Assign NEW vectors against the frozen centroids and append one commit
     to the lists table — the standing index is never re-encoded (the
-    incremental contract; idempotent per commit_id)."""
+    incremental contract; idempotent per commit_id).
+
+    Drift management: heavy appends under frozen centroids skew list balance
+    (and therefore probe recall) with no other signal. Pass
+    ``rebuild_threshold_millis`` to surface the post-append balance stat and
+    emit a ``RuntimeWarning`` when ``imbalance_millis`` exceeds it — the
+    flag mirrors ``CrawlConfig.frontier_compact_ratio``'s role: it tells the
+    operator to schedule ``build_ivf_index`` on the grown corpus, it never
+    auto-runs the rebuild inside an append."""
     cents = catalog.read(f"{prefix}_centroids", schema=CENTROIDS_SCHEMA)
     if cents is None:
         raise ValueError(f"no {prefix}_centroids table — run build_ivf_index first")
@@ -187,9 +218,74 @@ def ivf_append(
     ).select(
         F.col(id_col).alias("vec_id"), F.col(qv_col).alias("qv"), "list_id"
     )
-    return catalog.commit(
+    landed = catalog.commit(
         f"{prefix}_lists", assigned, commit_id, partition_by=["list_id"]
     )
+    if rebuild_threshold_millis is not None:
+        flagged, stats = ivf_rebuild_needed(
+            catalog, rebuild_threshold_millis, prefix=prefix
+        )
+        if flagged:
+            import warnings
+
+            warnings.warn(
+                f"{prefix}_lists imbalance {stats['imbalance_millis']}‰ exceeds "
+                f"rebuild threshold {rebuild_threshold_millis}‰ after append "
+                f"{commit_id!r} (max list {stats['max_list']} vs mean "
+                f"{stats['mean_list_millis'] / 1000:.1f}); schedule "
+                "build_ivf_index on the grown corpus",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    return landed
+
+
+def ivf_list_balance(catalog: ManifestCatalog, prefix: str = "ivf") -> dict:
+    """Inverted-list balance over the CURRENT lists snapshot.
+
+    One count-per-``list_id`` aggregation — ``list_id`` is the hive partition
+    column, so the scan reads directory metadata plus row counts, never the
+    vectors. The mean divides by the number of BUILT centroids (empty lists
+    included): a centroid starved of members by drifted appends should raise
+    the signal, not shrink the denominator.
+
+    Returns integer-exact stats (same millis convention as the text-quality
+    scores): ``{"n_vectors", "n_lists_built", "n_lists_nonempty",
+    "max_list", "mean_list_millis", "imbalance_millis"}`` where
+    ``imbalance_millis = 1000 * max_list * n_lists_built // n_vectors``
+    (1000 == perfectly uniform)."""
+    lists = catalog.read(f"{prefix}_lists", schema=LISTS_SCHEMA)
+    if lists is None:
+        raise ValueError(f"no {prefix}_lists table — run build_ivf_index first")
+    counts = [
+        (int(r["list_id"]), int(r["n"]))
+        for r in lists.groupBy("list_id").agg(F.count("*").alias("n")).collect()
+    ]
+    n_built = len(read_ivf_centroids(catalog, prefix))
+    n_vectors = sum(n for _lid, n in counts)
+    max_list = max((n for _lid, n in counts), default=0)
+    return {
+        "n_vectors": n_vectors,
+        "n_lists_built": n_built,
+        "n_lists_nonempty": len(counts),
+        "max_list": max_list,
+        "mean_list_millis": (1000 * n_vectors) // max(n_built, 1),
+        "imbalance_millis": (1000 * max_list * n_built) // max(n_vectors, 1),
+    }
+
+
+def ivf_rebuild_needed(
+    catalog: ManifestCatalog,
+    rebuild_threshold_millis: int = 2000,
+    prefix: str = "ivf",
+) -> tuple[bool, dict]:
+    """(flagged, stats): True when the lists' ``imbalance_millis`` exceeds
+    the bound — the advisory rebuild gate (``build_ivf_index`` on the grown
+    corpus re-seeds + re-refines and restores balance; this function only
+    FLAGS, the operator decides when the rebuild's one-time scan is worth
+    paying, exactly like frontier compaction)."""
+    stats = ivf_list_balance(catalog, prefix)
+    return stats["imbalance_millis"] > rebuild_threshold_millis, stats
 
 
 def ivf_topk_indexed(
@@ -332,6 +428,7 @@ def pq_codebook_refined(
     sample_mod: int = 1,
     id_col: str = "vec_id",
     qv_col: str = "qv",
+    dim: int | None = None,
 ) -> list[list[list[int]]]:
     """Data-sampled PQ codebook plus ``refine`` integer Lloyd steps per
     subspace: encode the sample with the current codebook (Arrow-batch
@@ -351,6 +448,13 @@ def pq_codebook_refined(
     )
     sub = len(cb[0][0])
     sample = _sample(quantized, sample_mod, id_col)
+    if dim is not None:
+        # belt-and-braces with pq_encode_udf's NULL-codes rule: keep dirty
+        # rows out of the refinement sample entirely (same predicate the
+        # DuckDB twin applies on its refinement CTEs)
+        sample = sample.filter(
+            F.col(qv_col).isNotNull() & (F.size(qv_col) == dim)
+        )
     for _ in range(refine):
         enc = similarity.pq_encode_udf(cb)
         coded = sample.select(F.col(qv_col).alias("qv"), enc(F.col(qv_col)).alias("codes"))
@@ -388,6 +492,7 @@ def build_pq_index(
     prefix: str = "pq",
     id_col: str = "vec_id",
     qv_col: str = "qv",
+    dim: int | None = None,
 ) -> list[list[list[int]]]:
     """One-time PQ build: refined codebook + the full corpus encoded to the
     codes table (M small ints per vector — the 32x-compressed scan target).
@@ -395,6 +500,7 @@ def build_pq_index(
     cb = pq_codebook_refined(
         quantized, n_subspaces=n_subspaces, n_codes=n_codes,
         refine=refine, sample_mod=sample_mod, id_col=id_col, qv_col=qv_col,
+        dim=dim,
     )
     spark = quantized.sparkSession
     cb_rows = [

@@ -166,9 +166,13 @@ class ManifestCatalog:
                 # processed batch must not read its own earlier append). Only
                 # meaningful for appends — excluding an overwrite would splice
                 # pre-overwrite history back in, so refuse loudly.
-                assert m["mode"] == "append", (
-                    f"exclude_commit={exclude_commit!r} is an overwrite commit"
-                )
+                if m["mode"] != "append":
+                    # not assert: the guard must survive `python -O`, or an
+                    # optimized run would silently splice pre-overwrite
+                    # history back into the snapshot
+                    raise ValueError(
+                        f"exclude_commit={exclude_commit!r} is an overwrite commit"
+                    )
                 continue
             if m["mode"] == "overwrite":
                 entries = []

@@ -47,12 +47,13 @@ DUP_SCHEMA = "doc_id long, dup_of long, jaccard_permille long"
 _TABLES = (("docs", DOC_SCHEMA), ("buckets", _EMPTY_BUCKETS))
 
 
-def _reject_legacy_layout(root: str) -> None:
+def _reject_legacy_layout(root: str, subs: tuple[str, ...] = ("docs", "buckets", ".")) -> None:
     """The pre-catalog layout stored bare ``batch-*`` parquet subdirs under
-    docs/ and buckets/. Reading such an index through the catalog would
-    silently return EMPTY (no manifests), every pre-upgrade doc would stop
-    deduplicating, and nothing would error — so detect it and refuse loudly."""
-    for sub in ("docs", "buckets", "."):
+    docs/ and buckets/ (and the dup sink's root). Reading such a table
+    through the catalog would silently return EMPTY (no manifests), every
+    pre-upgrade doc would stop deduplicating / every recorded dup would
+    vanish, and nothing would error — so detect it and refuse loudly."""
+    for sub in subs:
         d = os.path.normpath(os.path.join(root, sub))
         if not os.path.isdir(d) or os.path.isdir(os.path.join(d, "_manifests")):
             continue
@@ -89,6 +90,7 @@ def neardup_stream(
 ) -> None:
     """Drain available doc files through the rolling index-dedup gate."""
     _reject_legacy_layout(index_dir)
+    _reject_legacy_layout(dups_dir, subs=("dups", "."))
     index_cat = ManifestCatalog(index_dir, spark)
     dups_cat = ManifestCatalog(dups_dir, spark)
 
@@ -224,6 +226,7 @@ def compact_index(spark: SparkSession, index_dir: str, checkpoint_dir: str) -> i
 
 
 def read_dups(spark: SparkSession, dups_dir: str) -> DataFrame:
+    _reject_legacy_layout(dups_dir, subs=("dups", "."))
     return _read_or_empty(ManifestCatalog(dups_dir, spark), spark, "dups", DUP_SCHEMA)
 
 

@@ -127,6 +127,72 @@ def test_ivf_index_build_query_append(spark, ann_vectors, tmp_path):
     assert [tuple(r) for r in got2.collect()] == [tuple(r) for r in want2.collect()]
 
 
+def test_ivf_append_drift_flag_and_rebuild(spark, tmp_path):
+    """Skewed appends under frozen centroids trip the rebuild flag (balance
+    stat surfaced at append time), a strided-seed rebuild restores the
+    bound, and the indexed query stays exact vs the convenience path with
+    the same centroids before AND after the rebuild."""
+    rng = np.random.default_rng(7)
+    dim = 32
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    axes = [np.eye(dim)[i] for i in range(8)]
+    d1 = unit(axes[0] + 1.2 * np.eye(dim)[8])
+    d2 = unit(axes[0] + 1.2 * np.eye(dim)[9])
+    base = [
+        (i, [int(x) for x in np.round(unit(axes[i % 8] + 0.05 * rng.standard_normal(dim)) * 1000)])
+        for i in range(616)
+    ]
+    # drifted appends: two tight NEW subclusters, both inside the frozen
+    # A0 centroid's cell — the shape a topic-shifted nightly crawl produces
+    appended = [
+        (1000 + j, [int(x) for x in np.round(unit((d1 if j % 2 == 0 else d2) + 0.05 * rng.standard_normal(dim)) * 1000)])
+        for j in range(300)
+    ]
+    df_base = spark.createDataFrame(base, "vec_id long, qv array<long>").repartition(4)
+    df_app = spark.createDataFrame(appended, "vec_id long, qv array<long>").repartition(4)
+    df_full = df_base.unionByName(df_app)
+    cat = ManifestCatalog(str(tmp_path / "driftidx"), spark)
+    thr = 2500
+
+    ann_index.build_ivf_index(cat, df_base, n_lists=10, refine=1)
+    flagged, stats0 = ann_index.ivf_rebuild_needed(cat, thr)
+    assert not flagged and stats0["n_vectors"] == 616
+
+    with pytest.warns(RuntimeWarning, match="rebuild threshold"):
+        ann_index.ivf_append(
+            cat, df_app, commit_id="skew-1", rebuild_threshold_millis=thr
+        )
+    flagged, stats1 = ann_index.ivf_rebuild_needed(cat, thr)
+    assert flagged and stats1["imbalance_millis"] > thr
+
+    def _exact_vs_convenience():
+        from pyspark.sql import functions as F  # noqa: F401 (parity with file style)
+
+        cents = spark.createDataFrame(
+            ann_index.read_ivf_centroids(cat), "cid long, cv array<long>"
+        )
+        qvec = base[5][1]
+        got = ann_index.ivf_topk_indexed(cat, qvec, k=10, n_probe=3)
+        want = similarity.ivf_topk(df_full, qvec, k=10, n_probe=3, centroids=cents)
+        assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    _exact_vs_convenience()
+
+    # rebuild with strided seeds (covers the appended id range) restores the
+    # bound; a smallest-id re-seed would sample only the pre-drift region
+    ann_index.build_ivf_index(cat, df_full, n_lists=10, refine=2, seed_mod=77)
+    flagged, stats2 = ann_index.ivf_rebuild_needed(cat, thr)
+    assert not flagged and stats2["imbalance_millis"] < stats1["imbalance_millis"]
+    _exact_vs_convenience()
+
+    # a stride too coarse for n_lists refuses instead of silently under-seeding
+    with pytest.raises(ValueError, match="seed_mod"):
+        ann_index.build_ivf_index(cat, df_full, n_lists=10, seed_mod=5000)
+
+
 def test_lsh_index_build_query_append(spark, ann_vectors, tmp_path):
     """build -> indexed (multi-)probe query == convenience int_lsh_topk;
     append buckets new vectors under the frozen plane contract; the scan is

@@ -776,6 +776,98 @@ def _ann_pq_topk(spark, sf):
     return similarity.pq_topk(q, _query_qvec(spark, sf), cb, k=10)
 
 
+_ANN_INDEX_PARAMS = f"v1-ivf{IVF_LISTS}r1-lsh{ANN_PLANES}-pq{PQ_SUBSPACES}x{PQ_CODES}r1"
+
+
+def _emb_fingerprint(sf) -> list[tuple[str, int, int]]:
+    """(name, size, mtime_ns) of the embeddings parquet data files — the
+    staleness key for the cached persisted index."""
+    import os
+
+    p = f"{sf}/embeddings.parquet"
+    files = (
+        sorted(
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if f.endswith(".parquet") or f.startswith("part-")
+        )
+        if os.path.isdir(p)
+        else [p]
+    )
+    return [
+        (os.path.basename(f), os.stat(f).st_size, os.stat(f).st_mtime_ns)
+        for f in files
+    ]
+
+
+def _ann_index_catalog(spark, sf):
+    """Build-ONCE persisted ANN index (IVF + LSH + PQ) over the fixture's
+    embeddings, cached under .cache/annidx keyed by fixture identity + build
+    params. This is the deployment shape the registered ``*_indexed`` queries
+    certify: the query path reads the committed index tables (partition-pruned
+    lists/buckets, codes-only ADC scan) and NEVER re-encodes the corpus — the
+    build cost is paid once, exactly like a 10^10-vector corpus would."""
+    import hashlib
+    import json
+    import os
+
+    from crawler_service_spark.storage.catalog import ManifestCatalog
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
+    root = os.path.join(repo, ".cache", "annidx", key)
+    cat = ManifestCatalog(root, spark)
+    fp = {"params": _ANN_INDEX_PARAMS, "emb": _emb_fingerprint(sf)}
+    marker = os.path.join(root, "_fingerprint.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == json.loads(json.dumps(fp)):
+                return cat
+    q = _quantized(spark, sf)
+    ann_index.build_ivf_index(
+        cat, q, n_lists=IVF_LISTS, refine=1, dim=EMB_DIM
+    )
+    ann_index.build_lsh_index(cat, q, n_planes=ANN_PLANES)
+    ann_index.build_pq_index(
+        cat, q, n_subspaces=PQ_SUBSPACES, n_codes=PQ_CODES, refine=1, dim=EMB_DIM
+    )
+    with open(marker, "w") as f:
+        json.dump(fp, f)
+    return cat
+
+
+def _ann_ivf_indexed(spark, sf):
+    """IVF ANN against the PERSISTED index (ann_index.ivf_topk_indexed): the
+    production query path — probe selection from the committed K-row
+    centroids table, scan partition-pruned to the probed lists, no corpus
+    re-assignment. Same math as ann_ivf_topk (1 Lloyd step, seed_mod=1), so
+    it shares that query's DuckDB twin."""
+    cat = _ann_index_catalog(spark, sf)
+    return ann_index.ivf_topk_indexed(
+        cat, _query_qvec(spark, sf), k=10, n_probe=IVF_PROBE
+    )
+
+
+def _ann_lsh_indexed(spark, sf):
+    """Multi-probe LSH ANN against the PERSISTED bucket index
+    (ann_index.lsh_topk_indexed): probes derived from the committed plane
+    contract, scan pruned to the probed buckets' partitions. Same math as
+    ann_lsh_multiprobe, so it shares that twin."""
+    cat = _ann_index_catalog(spark, sf)
+    return ann_index.lsh_topk_indexed(
+        cat, _query_qvec(spark, sf), k=10, probe_radius=1
+    )
+
+
+def _ann_pq_indexed(spark, sf):
+    """PQ ADC top-k against the PERSISTED codes table
+    (ann_index.pq_topk_indexed): LUT from the committed codebook, the scan
+    reads M-int codes instead of the vectors, zero re-encode. Same refined
+    codebook math as ann_pq_topk, so it shares that twin."""
+    cat = _ann_index_catalog(spark, sf)
+    return ann_index.pq_topk_indexed(cat, _query_qvec(spark, sf), k=10)
+
+
 def _dedup_embedding_lsh(spark, sf):
     """Scale twin of dedup_embedding_pairs: banded hyperplane LSH candidates
     + exact integer-dot verify (plan: equi-joins only, no CartesianProduct).
@@ -841,34 +933,33 @@ def _multimodal_decode(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's CORRECTNESS order, and the driver caps
     the record at 50 rows per round — so ordering is a rotation policy, not
-    cosmetic (see REGISTRY.md). Round 4 (62 entries): the 11 queries
-    displaced from the r03 window (ANN + multimodal families and
-    pipeline_sample_mix; the three never-driver-checked ones first) lead,
-    the new pipeline_training_mix and the two behavior-changed queries sit
-    in-window, and 12 queries with banked r03 green rows and no round-4
-    behavior change fill tail positions 51-62."""
+    cosmetic (see REGISTRY.md). Round 5 (65 entries): the three NEW
+    persisted-index ANN queries lead (never driver-checked), ann_pq_topk
+    stays in-window because its oracle gained the dirty-row predicate this
+    round (rule 3), the 12 queries whose r03 green rows go stale after this
+    round rotate back in (rule 2), and 15 r04-green unchanged veterans
+    rotate to tail positions 51-65."""
     return {
-        # -- rotated in: never driver-checked in any round ------------------
+        # -- new round 5 (persisted-index ANN production paths) -------------
+        "ann_ivf_indexed": _ann_ivf_indexed,
+        "ann_lsh_indexed": _ann_lsh_indexed,
+        "ann_pq_indexed": _ann_pq_indexed,
+        # changed round 5 (oracle s1 dirty-row predicate) -> stays in-window
         "ann_pq_topk": _ann_pq_topk,
-        "multimodal_resize": _multimodal_resize,
-        "pipeline_sample_mix": _pipeline_sample_mix,
-        # -- rotated in: displaced from the r03 window by the 50-row cap ----
-        "ann_dot_topk": _ann_dot_topk,
-        "ann_cosine_topk": _ann_cosine_topk,
-        "ann_lsh_topk": _ann_lsh_topk,
-        "ann_lsh_multiprobe": _ann_lsh_multiprobe,
-        "ann_ivf_topk": _ann_ivf_topk,
-        "multimodal_features": _multimodal_features,
-        "multimodal_decode": _multimodal_decode,
-        "multimodal_frames": _multimodal_frames,
+        # -- rotated in: r03-banked rows go stale after this round ----------
+        "dedup_minhash_verified": _dedup_minhash_verified,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_chunks": _dedup_chunks,
+        "dedup_minhash_cluster": _dedup_minhash_cluster,
+        "pipeline_retention_funnel": _pipeline_retention_funnel,
+        "sessionize_events": _sessionize_events,
+        "dedup_embedding_lsh": _dedup_embedding_lsh,
+        "text_fingerprint": _text_fingerprint,
+        "text_token_count": _text_token_count,
+        "text_gopher_quality": _text_gopher_quality,
+        "text_repetition": _text_repetition,
+        "text_decontaminate": _text_decontaminate,
         # -- standing window ------------------------------------------------
-        "q1_pricing_summary": _q1_pricing_summary,
-        "s1_scan_filter": _s1_scan_filter,
-        "f1_route_split": _f1_route_split,
-        "j1_broadcast_enrich": _j1_broadcast_enrich,
-        "j3_status_stats": _j3_status_stats,
-        "j4_prefix_theta_antijoin": _j4_prefix_theta_antijoin,
-        "j5_seen_antijoin": _j5_seen_antijoin,
         "w1_politeness_rank": _w1_politeness_rank,
         "w2_host_budget_cap": _w2_host_budget_cap,
         "robots_parse": _robots_parse,
@@ -895,28 +986,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
-        # new round 4 -> must land in-window its introduction round
         "pipeline_training_mix": _pipeline_training_mix,
-        # changed round 4 (broadcast escape hatch) -> must stay in-window
         "dedup_incremental": _dedup_incremental,
         "dedup_embedding_pairs": _dedup_embedding_pairs,
         "text_quality": _text_quality,
         "text_langid": _text_langid,
-        # changed round 4 (overflow-safe idf scaling) -> must stay in-window
         "text_keyword_topk": _text_keyword_topk,
-        # -- tail (positions 51+): r03 green rows banked, unchanged round 4 -
-        "dedup_minhash_verified": _dedup_minhash_verified,
-        "dedup_simhash": _dedup_simhash,
-        "dedup_chunks": _dedup_chunks,
-        "dedup_minhash_cluster": _dedup_minhash_cluster,
-        "pipeline_retention_funnel": _pipeline_retention_funnel,
-        "sessionize_events": _sessionize_events,
-        "dedup_embedding_lsh": _dedup_embedding_lsh,
-        "text_fingerprint": _text_fingerprint,
-        "text_token_count": _text_token_count,
-        "text_gopher_quality": _text_gopher_quality,
-        "text_repetition": _text_repetition,
-        "text_decontaminate": _text_decontaminate,
+        # -- tail (positions 51+): r04 green rows banked, unchanged round 5 -
+        "q1_pricing_summary": _q1_pricing_summary,
+        "s1_scan_filter": _s1_scan_filter,
+        "f1_route_split": _f1_route_split,
+        "j1_broadcast_enrich": _j1_broadcast_enrich,
+        "j3_status_stats": _j3_status_stats,
+        "j4_prefix_theta_antijoin": _j4_prefix_theta_antijoin,
+        "j5_seen_antijoin": _j5_seen_antijoin,
+        "multimodal_resize": _multimodal_resize,
+        "pipeline_sample_mix": _pipeline_sample_mix,
+        "ann_dot_topk": _ann_dot_topk,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "ann_lsh_multiprobe": _ann_lsh_multiprobe,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "multimodal_features": _multimodal_features,
+        "multimodal_decode": _multimodal_decode,
+        "multimodal_frames": _multimodal_frames,
     }
 
 
@@ -1815,6 +1908,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_multiprobe": _ann_lsh_sql(probe_radius=1),
         "ann_ivf_topk": _ann_ivf_sql(),
         "ann_pq_topk": _ann_pq_sql(),
+        # persisted-index paths: identical math to the convenience queries
+        # (1 Lloyd step, seed_mod=1, frozen planes), so they share the twins —
+        # what differs is the SPARK plan (partition-pruned committed tables),
+        # which tools/explain_audit.py certifies
+        "ann_ivf_indexed": _ann_ivf_sql(),
+        "ann_lsh_indexed": _ann_lsh_sql(probe_radius=1),
+        "ann_pq_indexed": _ann_pq_sql(),
         "dedup_embedding_pairs": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot

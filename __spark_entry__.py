@@ -563,17 +563,12 @@ TMIX_NGRAM = 5        # 5-gram decontamination: trigrams false-positive on the
 TMIX_MIN_OVERLAP = 8  # synthetic corpus' shared template phrases at sf >= 0.1
 
 
-def _pipeline_training_mix(spark, sf):
-    """End-to-end training-mix builder — the composition a pre-training
-    corpus run executes in one pass: Gopher quality gate -> exact-dedup
-    first-occurrence keeper -> benchmark decontamination vs the held-out
-    eval slice (doc_id % 17 == 0; 5-gram shingles, overlap >= 8 — the
-    coarser trigram/3 setting of the standalone text_decontaminate query
-    false-positives on template phrases and empties the mix at sf0.1) ->
-    per-language stratified hash sample. Output = the sampled mix with
-    per-doc token counts (what a tokenizer shard ingests). Every stage is an
-    already-oracle-checked operator; this query checks their COMPOSITION
-    end-to-end."""
+def _training_mix_gated(spark, sf):
+    """Shared quality gate of the training-mix builders: Gopher gate ->
+    exact-dedup first-occurrence keeper -> benchmark decontamination vs the
+    held-out eval slice (doc_id % 17 == 0; 5-gram shingles, overlap >= 8 —
+    the coarser trigram/3 setting of the standalone text_decontaminate query
+    false-positives on template phrases and empties the mix at sf0.1)."""
     d = _t(spark, sf, "documents")
     corpus = d.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
     bench = d.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
@@ -588,12 +583,17 @@ def _pipeline_training_mix(spark, sf):
         .filter(~F.col("contaminated"))
         .select("doc_id")
     )
-    gated = (
+    return (
         corpus.join(g, "doc_id")
         .filter(F.col("gopher_pass"))
         .join(keepers, "doc_id", "semi")
         .join(clean, "doc_id", "semi")
     )
+
+
+def _mix_sample(gated):
+    """Stratified sample + per-doc token counts — the tokenizer-shard shape
+    both training-mix builders emit."""
     mix = sampling.stratified_sample(
         gated, SAMPLE_RATES, strata_col="lang",
         default_permille=SAMPLE_DEFAULT, salt=SAMPLE_SALT,
@@ -602,6 +602,35 @@ def _pipeline_training_mix(spark, sf):
         "doc_id", "lang", "source",
         F.size(textquality.tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
     )
+
+
+def _pipeline_training_mix(spark, sf):
+    """End-to-end training-mix builder — the composition a pre-training
+    corpus run executes in one pass: Gopher quality gate -> exact-dedup
+    first-occurrence keeper -> benchmark decontamination -> per-language
+    stratified hash sample. Output = the sampled mix with per-doc token
+    counts (what a tokenizer shard ingests). Every stage is an
+    already-oracle-checked operator; this query checks their COMPOSITION
+    end-to-end."""
+    return _mix_sample(_training_mix_gated(spark, sf))
+
+
+def _pipeline_training_mix_semantic(spark, sf):
+    """Training-mix builder WITH the SemDeDup stage: after the exact-dedup /
+    decontamination gate, embedding-LSH verified pairs -> large-star/
+    small-star connected components -> drop every cluster member except the
+    minimum-id canonical keeper (similarity.semantic_dup_ids), then sample.
+    The semantic pass every modern corpus build runs after minhash; composed
+    here end-to-end so the driver checks the full pipeline, not the stage in
+    isolation. The drop list is |semantic dups|, not |corpus|, so the
+    anti-join's right side broadcasts at scale."""
+    gated = _training_mix_gated(spark, sf)
+    sem_dup = similarity.semantic_dup_ids(
+        _quantized(spark, sf).filter(F.col("vec_id") % DECON_BENCH_MOD != 0),
+        dim=EMB_DIM, dot_threshold=DOT_PAIR_THRESHOLD,
+        n_planes=PAIR_PLANES, band_bits=PAIR_BAND_BITS,
+    ).select(F.col("vec_id").alias("doc_id"))
+    return _mix_sample(gated.join(sem_dup, "doc_id", "left_anti"))
 
 
 SESSION_GAP_S = 3600
@@ -944,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": _ann_ivf_indexed,
         "ann_lsh_indexed": _ann_lsh_indexed,
         "ann_pq_indexed": _ann_pq_indexed,
+        "pipeline_training_mix_semantic": _pipeline_training_mix_semantic,
         # changed round 5 (oracle s1 dirty-row predicate) -> stays in-window
         "ann_pq_topk": _ann_pq_topk,
         # -- rotated in: r03-banked rows go stale after this round ----------
@@ -1576,6 +1606,123 @@ def _embedding_lsh_sql() -> str:
     """
 
 
+def _training_mix_sql(semantic: bool = False) -> str:
+    """DuckDB twin of the training-mix builders. With ``semantic=True`` the
+    gate adds the SemDeDup stage: the same banded-LSH verified pairs as
+    _embedding_lsh_sql (restricted to corpus vec_ids), a recursive-CTE
+    transitive closure (the small-data oracle for the Spark star-CC path,
+    exactly as _minhash_cluster_sql does), and a NOT IN drop of every
+    cluster member except the min-id keeper."""
+    from crawler_service_spark.operators.similarity import int_planes
+
+    sem_ctes, sem_gate, recursive = "", "", ""
+    if semantic:
+        planes = int_planes(EMB_DIM, PAIR_PLANES)
+        n_bands = PAIR_PLANES // PAIR_BAND_BITS
+        band_rows = " UNION ALL ".join(
+            "SELECT vec_id, "
+            + f"{bb} AS band, "
+            + _bucket_expr(
+                "qv",
+                [planes[bb * PAIR_BAND_BITS + i] for i in range(PAIR_BAND_BITS)],
+            )
+            + " AS key FROM emb"
+            for bb in range(n_bands)
+        )
+        recursive = "RECURSIVE "
+        sem_ctes = f"""
+            emb AS (
+                SELECT vec_id, {_QUANT} AS qv FROM embeddings
+                WHERE vec_id % {DECON_BENCH_MOD} <> 0
+            ),
+            ebuckets AS ({band_rows}),
+            everified AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM ebuckets a
+                JOIN ebuckets b ON a.band = b.band AND a.key = b.key
+                JOIN emb qa ON qa.vec_id = a.vec_id
+                JOIN emb qb ON qb.vec_id = b.vec_id
+                WHERE a.vec_id < b.vec_id
+                  AND CAST(list_dot_product(qa.qv, qb.qv) AS BIGINT) >= {DOT_PAIR_THRESHOLD}
+            ),
+            eedges AS (
+                SELECT id_a AS a, id_b AS b FROM everified
+                UNION
+                SELECT id_b AS a, id_a AS b FROM everified
+            ),
+            ereach AS (
+                SELECT a, b FROM eedges
+                UNION
+                SELECT r.a, e.b FROM ereach r JOIN eedges e ON r.b = e.a WHERE e.b <> r.a
+            ),
+            sem_dup AS (
+                SELECT a AS doc_id FROM ereach GROUP BY a
+                HAVING a <> least(a, min(b))
+            ),
+        """
+        sem_gate = "WHERE corpus.doc_id NOT IN (SELECT doc_id FROM sem_dup)"
+    return f"""
+            WITH {recursive}{sem_ctes}corpus AS (
+                SELECT doc_id, lang, source, text FROM documents
+                WHERE doc_id % {DECON_BENCH_MOD} <> 0
+            ),
+            c AS (
+                SELECT doc_id,
+                       CAST(len({_TOKS}) AS BIGINT) AS word_count,
+                       CAST(CASE WHEN len({_TOKS}) > 0
+                            THEN (1000 * list_sum(list_transform({_TOKS}, x -> length(x)))) // len({_TOKS})
+                            ELSE 0 END AS BIGINT) AS mean_word_len_millis,
+                       CAST(CASE WHEN len({_TOKS}) > 0
+                            THEN (1000 * len(list_filter({_TOKS}, x -> regexp_matches(x, '[a-z]')))) // len({_TOKS})
+                            ELSE 0 END AS BIGINT) AS alpha_word_permille,
+                       CAST({" + ".join(f"len(list_filter({_TOKS}, x -> x = '{w}'))" for w in textquality.LANG_MARKERS["en"])} AS BIGINT) AS stopword_hits
+                FROM corpus
+            ),
+            q AS (
+                SELECT doc_id FROM c
+                WHERE word_count >= 50 AND word_count <= 100000
+                  AND mean_word_len_millis >= 3000 AND mean_word_len_millis <= 10000
+                  AND alpha_word_permille >= 800 AND stopword_hits >= 2
+            ),
+            keepers AS (
+                SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+            ),
+            bench_sh AS (
+                SELECT DISTINCT array_to_string(t[i:i+{TMIX_NGRAM - 1}], ' ') AS shingle
+                FROM (SELECT doc_id, {_TOKS} AS t FROM documents
+                      WHERE doc_id % {DECON_BENCH_MOD} = 0),
+                     unnest(range(1, greatest(len(t) - {TMIX_NGRAM - 2}, 1))) AS u(i)
+                WHERE len(t) >= {TMIX_NGRAM}
+            ),
+            corp_sh AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+{TMIX_NGRAM - 1}], ' ') AS shingle
+                FROM (SELECT doc_id, {_TOKS} AS t FROM corpus),
+                     unnest(range(1, greatest(len(t) - {TMIX_NGRAM - 2}, 1))) AS u(i)
+                WHERE len(t) >= {TMIX_NGRAM}
+            ),
+            ov AS (
+                SELECT doc_id, count(*) AS n
+                FROM corp_sh JOIN bench_sh USING (shingle) GROUP BY doc_id
+            ),
+            clean AS (
+                SELECT corpus.doc_id FROM corpus LEFT JOIN ov USING (doc_id)
+                WHERE coalesce(ov.n, 0) < {TMIX_MIN_OVERLAP}
+            ),
+            gated AS (
+                SELECT corpus.* FROM corpus
+                JOIN q USING (doc_id)
+                JOIN keepers USING (doc_id)
+                JOIN clean USING (doc_id)
+                {sem_gate}
+            )
+            SELECT doc_id, lang, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM gated
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':{SAMPLE_SALT}'), 1, 8))::BIGINT % 1000
+                  < CASE {' '.join(f"WHEN lang = '{s}' THEN {r}" for s, r in sorted(SAMPLE_RATES.items()))}
+                         ELSE {SAMPLE_DEFAULT} END
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     quality_stop = " + ".join(
         f"len(list_filter({_TOKS}, x -> x = '{w}'))"
@@ -2017,65 +2164,8 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ov USING (doc_id)
         """,
         "text_keyword_topk": _keyword_topk_sql(),
-        "pipeline_training_mix": f"""
-            WITH corpus AS (
-                SELECT doc_id, lang, source, text FROM documents
-                WHERE doc_id % {DECON_BENCH_MOD} <> 0
-            ),
-            c AS (
-                SELECT doc_id,
-                       CAST(len({_TOKS}) AS BIGINT) AS word_count,
-                       CAST(CASE WHEN len({_TOKS}) > 0
-                            THEN (1000 * list_sum(list_transform({_TOKS}, x -> length(x)))) // len({_TOKS})
-                            ELSE 0 END AS BIGINT) AS mean_word_len_millis,
-                       CAST(CASE WHEN len({_TOKS}) > 0
-                            THEN (1000 * len(list_filter({_TOKS}, x -> regexp_matches(x, '[a-z]')))) // len({_TOKS})
-                            ELSE 0 END AS BIGINT) AS alpha_word_permille,
-                       CAST({" + ".join(f"len(list_filter({_TOKS}, x -> x = '{w}'))" for w in textquality.LANG_MARKERS["en"])} AS BIGINT) AS stopword_hits
-                FROM corpus
-            ),
-            q AS (
-                SELECT doc_id FROM c
-                WHERE word_count >= 50 AND word_count <= 100000
-                  AND mean_word_len_millis >= 3000 AND mean_word_len_millis <= 10000
-                  AND alpha_word_permille >= 800 AND stopword_hits >= 2
-            ),
-            keepers AS (
-                SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
-            ),
-            bench_sh AS (
-                SELECT DISTINCT array_to_string(t[i:i+{TMIX_NGRAM - 1}], ' ') AS shingle
-                FROM (SELECT doc_id, {_TOKS} AS t FROM documents
-                      WHERE doc_id % {DECON_BENCH_MOD} = 0),
-                     unnest(range(1, greatest(len(t) - {TMIX_NGRAM - 2}, 1))) AS u(i)
-                WHERE len(t) >= {TMIX_NGRAM}
-            ),
-            corp_sh AS (
-                SELECT DISTINCT doc_id, array_to_string(t[i:i+{TMIX_NGRAM - 1}], ' ') AS shingle
-                FROM (SELECT doc_id, {_TOKS} AS t FROM corpus),
-                     unnest(range(1, greatest(len(t) - {TMIX_NGRAM - 2}, 1))) AS u(i)
-                WHERE len(t) >= {TMIX_NGRAM}
-            ),
-            ov AS (
-                SELECT doc_id, count(*) AS n
-                FROM corp_sh JOIN bench_sh USING (shingle) GROUP BY doc_id
-            ),
-            clean AS (
-                SELECT corpus.doc_id FROM corpus LEFT JOIN ov USING (doc_id)
-                WHERE coalesce(ov.n, 0) < {TMIX_MIN_OVERLAP}
-            ),
-            gated AS (
-                SELECT corpus.* FROM corpus
-                JOIN q USING (doc_id)
-                JOIN keepers USING (doc_id)
-                JOIN clean USING (doc_id)
-            )
-            SELECT doc_id, lang, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
-            FROM gated
-            WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':{SAMPLE_SALT}'), 1, 8))::BIGINT % 1000
-                  < CASE {' '.join(f"WHEN lang = '{s}' THEN {r}" for s, r in sorted(SAMPLE_RATES.items()))}
-                         ELSE {SAMPLE_DEFAULT} END
-        """,
+        "pipeline_training_mix": _training_mix_sql(),
+        "pipeline_training_mix_semantic": _training_mix_sql(semantic=True),
         "pipeline_sample_mix": f"""
             SELECT doc_id, lang, source FROM documents
             WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':{SAMPLE_SALT}'), 1, 8))::BIGINT % 1000

@@ -422,6 +422,41 @@ def lsh_neardup_pairs(
     )
 
 
+def semantic_dup_ids(
+    quantized: DataFrame,
+    dim: int,
+    dot_threshold: int,
+    n_planes: int = 16,
+    band_bits: int = 2,
+    id_col: str = "vec_id",
+    qv_col: str = "qv",
+) -> DataFrame:
+    """SemDeDup-shaped drop list: embedding near-dup verified pairs (banded
+    LSH candidates + exact integer-dot verify, ``lsh_neardup_pairs``) ->
+    connected components (large-star/small-star, O(log n) rounds) -> every
+    cluster member EXCEPT the minimum-id canonical keeper. Anti-joining the
+    result against a corpus is the semantic-dedup stage a modern pre-training
+    build runs after minhash (the SemDeDup recipe: cluster by embedding
+    similarity, keep one representative per cluster).
+
+    Output: one ``{id_col}`` column of ids to DROP. Docs in no cluster never
+    appear (they survive implicitly), so at 10^10 docs this frame is
+    |semantic duplicates|, not |corpus| — the anti-join's right side stays
+    small and broadcastable at realistic dup rates."""
+    pairs = lsh_neardup_pairs(
+        quantized, dim=dim, dot_threshold=dot_threshold,
+        n_planes=n_planes, band_bits=band_bits, id_col=id_col, qv_col=qv_col,
+    )
+    from .graph import connected_components_star
+
+    cc = connected_components_star(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((dim, n_planes)).astype(np.float64)

@@ -808,12 +808,12 @@ def _ann_pq_topk(spark, sf):
 _ANN_INDEX_PARAMS = f"v1-ivf{IVF_LISTS}r1-lsh{ANN_PLANES}-pq{PQ_SUBSPACES}x{PQ_CODES}r1"
 
 
-def _emb_fingerprint(sf) -> list[tuple[str, int, int]]:
-    """(name, size, mtime_ns) of the embeddings parquet data files — the
-    staleness key for the cached persisted index."""
+def _emb_fingerprint(sf, table: str = "embeddings") -> list[tuple[str, int, int]]:
+    """(name, size, mtime_ns) of a fixture table's parquet data files — the
+    staleness key for the cached persisted indexes."""
     import os
 
-    p = f"{sf}/embeddings.parquet"
+    p = f"{sf}/{table}.parquet"
     files = (
         sorted(
             os.path.join(p, f)
@@ -829,13 +829,12 @@ def _emb_fingerprint(sf) -> list[tuple[str, int, int]]:
     ]
 
 
-def _ann_index_catalog(spark, sf):
-    """Build-ONCE persisted ANN index (IVF + LSH + PQ) over the fixture's
-    embeddings, cached under .cache/annidx keyed by fixture identity + build
-    params. This is the deployment shape the registered ``*_indexed`` queries
-    certify: the query path reads the committed index tables (partition-pruned
-    lists/buckets, codes-only ADC scan) and NEVER re-encodes the corpus — the
-    build cost is paid once, exactly like a 10^10-vector corpus would."""
+def _cached_index_catalog(spark, sf, tag: str, fp: dict, build):
+    """Build-ONCE persisted index under .cache/annidx, keyed by fixture path +
+    tag and fingerprinted by ``fp`` (build params + source-file identity). The
+    deployment shape the registered ``*_indexed`` queries certify: the query
+    path reads committed tables and never re-encodes the corpus — the build
+    cost is paid once, exactly like a 10^10-row corpus would."""
     import hashlib
     import json
     import os
@@ -843,26 +842,39 @@ def _ann_index_catalog(spark, sf):
     from crawler_service_spark.storage.catalog import ManifestCatalog
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
+    key = hashlib.md5((os.path.abspath(sf) + ":" + tag).encode()).hexdigest()[:12]
     root = os.path.join(repo, ".cache", "annidx", key)
     cat = ManifestCatalog(root, spark)
-    fp = {"params": _ANN_INDEX_PARAMS, "emb": _emb_fingerprint(sf)}
     marker = os.path.join(root, "_fingerprint.json")
     if os.path.exists(marker):
         with open(marker) as f:
             if json.load(f) == json.loads(json.dumps(fp)):
                 return cat
-    q = _quantized(spark, sf)
-    ann_index.build_ivf_index(
-        cat, q, n_lists=IVF_LISTS, refine=1, dim=EMB_DIM
-    )
-    ann_index.build_lsh_index(cat, q, n_planes=ANN_PLANES)
-    ann_index.build_pq_index(
-        cat, q, n_subspaces=PQ_SUBSPACES, n_codes=PQ_CODES, refine=1, dim=EMB_DIM
-    )
+    build(cat)
     with open(marker, "w") as f:
         json.dump(fp, f)
     return cat
+
+
+def _ann_index_catalog(spark, sf):
+    """Persisted ANN index (IVF + LSH + PQ) over the fixture's embeddings,
+    built once per fixture identity + params (see _cached_index_catalog)."""
+
+    def build(cat):
+        q = _quantized(spark, sf)
+        ann_index.build_ivf_index(
+            cat, q, n_lists=IVF_LISTS, refine=1, dim=EMB_DIM
+        )
+        ann_index.build_lsh_index(cat, q, n_planes=ANN_PLANES)
+        ann_index.build_pq_index(
+            cat, q, n_subspaces=PQ_SUBSPACES, n_codes=PQ_CODES, refine=1, dim=EMB_DIM
+        )
+
+    return _cached_index_catalog(
+        spark, sf, "emb",
+        {"params": _ANN_INDEX_PARAMS, "emb": _emb_fingerprint(sf)},
+        build,
+    )
 
 
 def _ann_ivf_indexed(spark, sf):
@@ -954,6 +966,92 @@ def _multimodal_decode(spark, sf):
     return multimodal.decode_media(_media_df(spark, sf), fake_decode=True)
 
 
+FRAME_BYTES = 256            # sample_frames window size
+FRAME_PLANES = 6             # LSH planes over the 16-dim frame histograms
+FRAME_ID_STRIDE = 1 << 20    # frame vec_id = media_id * stride + frame_idx
+FRAME_TOPK = 10
+FRAME_PROBE_RADIUS = 1
+_FRAME_INDEX_PARAMS = f"v1-frames{FRAME_BYTES}-hist16-lsh{FRAME_PLANES}"
+
+
+def _frame_vectors(spark, sf):
+    """The media analogue of _quantized: every sampled frame as a 16-dim
+    integer feature vector. Frames come from multimodal.sample_frames, each
+    frame's payload is a JVM-side binary substring (no second Python pass
+    over the media bytes), and the vector is the frame's 16-bin nibble
+    histogram from multimodal.extract_byte_features. vec_id packs
+    (media_id, frame_idx) so the index rows stay a flat long key."""
+    media = _media_df(spark, sf)
+    frames = multimodal.sample_frames(media, every_n_bytes=FRAME_BYTES)
+    frame_media = frames.join(
+        media.select("media_id", "kind", "payload"), "media_id"
+    ).select(
+        (F.col("media_id") * FRAME_ID_STRIDE + F.col("frame_idx")).alias("media_id"),
+        "kind",
+        F.expr(f"substring(payload, CAST(offset + 1 AS INT), {FRAME_BYTES})").alias(
+            "payload"
+        ),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    feats = multimodal.extract_byte_features(frame_media)
+    return feats.select(
+        F.col("media_id").alias("vec_id"),
+        F.array(*[F.col(f"hist_{i}").cast("long") for i in range(16)]).alias("qv"),
+    )
+
+
+def _frame_index_catalog(spark, sf):
+    """Persisted LSH bucket index over the frame-histogram vectors — media
+    that flowed through the multimodal operators, not the synthetic
+    embeddings fixture (see _cached_index_catalog)."""
+
+    def build(cat):
+        ann_index.build_lsh_index(
+            cat, _frame_vectors(spark, sf), n_planes=FRAME_PLANES, prefix="flsh"
+        )
+
+    return _cached_index_catalog(
+        spark, sf, "frames",
+        {
+            "params": _FRAME_INDEX_PARAMS,
+            "docs": _emb_fingerprint(sf, table="documents"),
+        },
+        build,
+    )
+
+
+def _frame_query_qvec(spark, sf) -> list[int]:
+    """Query vector = frame (media_id=0, frame_idx=0)'s nibble histogram,
+    computed driver-side from the one-row doc-0 text (control-plane collect,
+    same role as _query_qvec)."""
+    row = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") == 0)
+        .select("text")
+        .first()
+    )
+    window = row["text"].encode("utf-8")[:FRAME_BYTES]
+    hist = [0] * 16
+    for b in window:
+        hist[b >> 4] += 1
+    return hist
+
+
+def _multimodal_neardup_frames(spark, sf):
+    """End-to-end multimodal near-dup pipeline: sample_frames -> per-frame
+    byte-histogram features (extract_byte_features over JVM-substring frame
+    payloads) -> persisted LSH bucket index -> multi-probe indexed top-k for
+    the query frame. The media analogue of pipeline_training_mix: the ANN
+    index serves vectors that flowed through the multimodal operators, and
+    the query scan is partition-pruned to the probed buckets
+    (ann_index.lsh_topk_indexed)."""
+    cat = _frame_index_catalog(spark, sf)
+    return ann_index.lsh_topk_indexed(
+        cat, _frame_query_qvec(spark, sf), k=FRAME_TOPK,
+        probe_radius=FRAME_PROBE_RADIUS, prefix="flsh",
+    )
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -962,18 +1060,20 @@ def _multimodal_decode(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's CORRECTNESS order, and the driver caps
     the record at 50 rows per round — so ordering is a rotation policy, not
-    cosmetic (see REGISTRY.md). Round 5 (65 entries): the three NEW
-    persisted-index ANN queries lead (never driver-checked), ann_pq_topk
+    cosmetic (see REGISTRY.md). Round 5 (67 entries): the five NEW queries
+    lead (three persisted-index ANN paths, the SemDeDup training mix, the
+    multimodal near-dup-frames pipeline — never driver-checked), ann_pq_topk
     stays in-window because its oracle gained the dirty-row predicate this
     round (rule 3), the 12 queries whose r03 green rows go stale after this
-    round rotate back in (rule 2), and 15 r04-green unchanged veterans
-    rotate to tail positions 51-65."""
+    round rotate back in (rule 2), and 17 r04-green unchanged veterans
+    rotate to tail positions 51-67."""
     return {
         # -- new round 5 (persisted-index ANN production paths) -------------
         "ann_ivf_indexed": _ann_ivf_indexed,
         "ann_lsh_indexed": _ann_lsh_indexed,
         "ann_pq_indexed": _ann_pq_indexed,
         "pipeline_training_mix_semantic": _pipeline_training_mix_semantic,
+        "multimodal_neardup_frames": _multimodal_neardup_frames,
         # changed round 5 (oracle s1 dirty-row predicate) -> stays in-window
         "ann_pq_topk": _ann_pq_topk,
         # -- rotated in: r03-banked rows go stale after this round ----------
@@ -1606,6 +1706,56 @@ def _embedding_lsh_sql() -> str:
     """
 
 
+def _neardup_frames_sql() -> str:
+    """DuckDB twin of multimodal_neardup_frames: frames re-derived from
+    hex(encode(text)) (the same windows as _frames_sql), per-frame 16-bin
+    nibble histograms, md5-derived integer hyperplanes over the 16-dim
+    vectors, and the Hamming multi-probe + exact integer-cosine re-rank of
+    _ann_lsh_sql."""
+    from crawler_service_spark.operators.similarity import int_planes
+
+    planes = int_planes(16, FRAME_PLANES)
+    hist_cols = ", ".join(
+        f"sum(CASE WHEN byte // 16 = {k} THEN 1 ELSE 0 END)" for k in range(16)
+    )
+    return f"""
+        WITH m AS (
+            SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        ),
+        fr AS (
+            SELECT media_id, hx, n, CAST(i - 1 AS BIGINT) AS frame_idx,
+                   CAST((i - 1) * {FRAME_BYTES} AS BIGINT) AS off
+            FROM m, unnest(range(1, CAST(ceil(n / {FRAME_BYTES}.0) AS BIGINT) + 1)) AS u(i)
+            WHERE n > 0
+        ),
+        b AS (
+            SELECT media_id, frame_idx,
+                   ('0x' || substr(hx, 2 * (off + j) + 1, 2))::BIGINT AS byte
+            FROM fr, unnest(range(0, {FRAME_BYTES})) AS w(j)
+            WHERE off + j < n
+        ),
+        q AS (
+            SELECT media_id * {FRAME_ID_STRIDE} + frame_idx AS vec_id,
+                   [{hist_cols}] AS qv
+            FROM b GROUP BY media_id, frame_idx
+        ),
+        n0 AS (SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS nn FROM q),
+        n1 AS (SELECT *, CAST(floor(sqrt(CAST(nn AS DOUBLE))) AS BIGINT) AS s FROM n0),
+        n2 AS (SELECT vec_id, qv, nn, CASE WHEN s*s > nn THEN s-1 ELSE s END AS s2 FROM n1),
+        nrm AS (SELECT vec_id, qv, CASE WHEN (s2+1)*(s2+1) <= nn THEN s2+1 ELSE s2 END AS norm FROM n2),
+        bk AS (SELECT vec_id, qv, norm, {_bucket_expr("qv", planes)} AS bucket FROM nrm),
+        qq AS (SELECT qv, norm, bucket FROM bk WHERE vec_id = 0)
+        SELECT vec_id,
+               CAST((1000000 * CAST(list_dot_product(bk.qv, (SELECT qv FROM qq)) AS BIGINT))
+                   // (norm * (SELECT norm FROM qq)) AS BIGINT) AS cosine_micros
+        FROM bk
+        WHERE bit_count(xor(bucket, (SELECT bucket FROM qq))) <= {FRAME_PROBE_RADIUS}
+        ORDER BY cosine_micros DESC, vec_id ASC LIMIT {FRAME_TOPK}
+    """
+
+
 def _training_mix_sql(semantic: bool = False) -> str:
     """DuckDB twin of the training-mix builders. With ``semantic=True`` the
     gate adds the SemDeDup stage: the same banded-LSH verified pairs as
@@ -2062,6 +2212,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_indexed": _ann_ivf_sql(),
         "ann_lsh_indexed": _ann_lsh_sql(probe_radius=1),
         "ann_pq_indexed": _ann_pq_sql(),
+        "multimodal_neardup_frames": _neardup_frames_sql(),
         "dedup_embedding_pairs": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot

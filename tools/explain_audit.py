@@ -78,6 +78,15 @@ CLAIMS = {
         (r"BroadcastHashJoin", "eval-shingle set + semi joins broadcast"),
         (r"PushedFilters: \[.*doc_id", "bench/corpus split pushed to the scan"),
     ],
+    "pipeline_training_mix_semantic": [
+        (r"BroadcastHashJoin", "eval-shingle set + semi joins broadcast"),
+        (r"PushedFilters: \[.*doc_id", "bench/corpus split pushed to the scan"),
+        (r"LeftAnti", "semantic drop list anti-joined"),
+    ],
+    "multimodal_neardup_frames": [
+        (r"PartitionFilters: \[[^\]]*bucket", "frame-index scan pruned to probed buckets"),
+        (r"TakeOrderedAndProject", "indexed top-k without global sort"),
+    ],
 }
 
 
@@ -162,7 +171,8 @@ def main() -> int:
     for name in ["q1_pricing_summary", "j1_broadcast_enrich", "j5_seen_antijoin",
                  "j4_prefix_theta_antijoin", "dedup_minhash_lsh",
                  "dedup_minhash_verified", "dedup_embedding_lsh", "ann_lsh_topk",
-                 "dedup_minhash_cluster", "dedup_incremental", "ann_pq_topk"]:
+                 "dedup_minhash_cluster", "dedup_incremental", "ann_pq_topk",
+                 "pipeline_training_mix_semantic", "multimodal_neardup_frames"]:
         plan = formatted(qs[name](spark, SF_DIR))
         if "CartesianProduct" in plan:
             failures.append((name, "unexpected cartesian product"))

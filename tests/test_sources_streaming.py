@@ -366,6 +366,92 @@ def test_streaming_neardup_compaction_guard(spark, tmp_path):
     assert compact_index(spark, idx, ckpt) > 0, "quiesced checkpoint folds fine"
 
 
+def test_streaming_neardup_midstream_snapshot(spark, tmp_path):
+    """The time-travel contract of the catalog-backed near-dup index
+    (neardup.py module docstring: ``upto=`` snapshot reads work mid-stream):
+    the index read at ``batch-k`` equals the EXACT full-frame post-batch-k
+    state after the stream has advanced n more batches — for the docs table
+    AND the buckets table — and stays correct even while a further batch is
+    half-landed (crashed between its two index commits), which is precisely
+    the mid-stream state a concurrent reader can observe."""
+    from crawler_service_spark.storage.catalog import ManifestCatalog
+    from crawler_service_spark.streaming import neardup_stream, read_index_docs
+    from crawler_service_spark.streaming.neardup import DOC_SCHEMA, _EMPTY_BUCKETS
+
+    in_dir = str(tmp_path / "s_docs")
+    idx = str(tmp_path / "s_index")
+    dups = str(tmp_path / "s_dups")
+    ckpt = str(tmp_path / "s_ckpt")
+    os.makedirs(in_dir)
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+    def drop(rows):
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    def full_docs(upto=None):
+        return sorted(
+            tuple(r) for r in read_index_docs(spark, idx, upto=upto).collect()
+        )
+
+    # batch 0 admits docs 1 and 2
+    drop([(1, base), (2, "completely different text about spark shuffle joins")])
+    neardup_stream(spark, in_dir, idx, dups, ckpt)
+    post_k = full_docs()
+    assert {t[0] for t in post_k} == {1, 2}
+
+    # advance the stream n=2 batches (batch 1 flags a near-dup of doc 1,
+    # admits 11; batch 2 admits 20) — the standing index keeps changing
+    drop([(10, base + " extra"), (11, "yet another unrelated document body")])
+    neardup_stream(spark, in_dir, idx, dups, ckpt)
+    post_k1 = full_docs()
+    drop([(20, "fresh corpus page about window functions and watermarks")])
+    neardup_stream(spark, in_dir, idx, dups, ckpt)
+    assert {t[0] for t in full_docs()} == {1, 2, 11, 20}
+
+    # snapshot at batch-k must equal the state recorded right after batch k
+    # (full frames — ids AND text — not just id sets), for every k behind HEAD
+    assert full_docs(upto="batch-0") == post_k
+    assert full_docs(upto="batch-1") == post_k1
+
+    # the buckets table time-travels consistently with docs: the batch-0
+    # bucket set covers exactly the docs batch 0 admitted
+    cat = ManifestCatalog(idx, spark)
+    b0 = cat.read("buckets", upto="batch-0", schema=_EMPTY_BUCKETS)
+    assert {r["doc_id"] for r in b0.select("doc_id").distinct().collect()} == {1, 2}
+
+    # half-landed batch 3: its docs commit landed, its buckets commit never
+    # did (crash between the two) — the exact state a mid-stream reader can
+    # catch. Earlier snapshots must be untouched, and the replay protection
+    # (exclude_commit, what handle_batch itself reads with) must restore the
+    # pre-batch-3 frame.
+    cat.commit(
+        "docs",
+        spark.createDataFrame([(99, "phantom half landed doc")], DOC_SCHEMA),
+        "batch-3",
+    )
+    assert full_docs(upto="batch-0") == post_k
+    assert full_docs(upto="batch-1") == post_k1
+    cur = {r["doc_id"] for r in cat.read("docs", schema=DOC_SCHEMA).collect()}
+    assert 99 in cur, "HEAD sees the half-landed commit"
+    excl = {
+        r["doc_id"]
+        for r in cat.read("docs", exclude_commit="batch-3", schema=DOC_SCHEMA).collect()
+    }
+    assert excl == {1, 2, 11, 20}, "replay's own-commit exclusion restores pre-batch state"
+
+    # the stream itself recovers over the half-landed commit: re-running the
+    # batch under the same commit id is a no-op for docs and lands buckets
+    drop([(99, "phantom half landed doc")])
+    neardup_stream(spark, in_dir, idx, dups, ckpt)
+    assert {t[0] for t in full_docs()} == {1, 2, 11, 20, 99}
+    b_now = cat.read("buckets", schema=_EMPTY_BUCKETS)
+    assert {r["doc_id"] for r in b_now.select("doc_id").distinct().collect()} == {
+        1, 2, 11, 20, 99
+    }
+
+
 def test_streaming_neardup_rejects_legacy_layout(spark, tmp_path):
     """A pre-catalog index (bare batch-* subdirs, no manifests) must error
     loudly instead of silently deduping against an empty index."""

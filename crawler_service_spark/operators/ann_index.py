@@ -377,18 +377,72 @@ def lsh_append(
     prefix: str = "lsh",
     id_col: str = "vec_id",
     qv_col: str = "qv",
+    imbalance_warn_millis: int | None = None,
 ) -> bool:
     """Bucket NEW vectors under the frozen plane contract and append one
-    commit (idempotent per commit_id)."""
+    commit (idempotent per commit_id). Pass ``imbalance_warn_millis`` to
+    surface post-append bucket skew (see lsh_bucket_balance — the signal
+    for probe-cost blowup; the lever is more planes / the banded layout,
+    not a re-seed, so the warning names those)."""
     planes = _read_lsh_planes(catalog, prefix)
     bucketed = new_vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(qv_col).alias("qv"),
         similarity.int_lsh_bucket_col(F.col(qv_col), planes).alias("bucket"),
     )
-    return catalog.commit(
+    landed = catalog.commit(
         f"{prefix}_buckets", bucketed, commit_id, partition_by=["bucket"]
     )
+    if imbalance_warn_millis is not None:
+        stats = lsh_bucket_balance(catalog, prefix)
+        if stats["imbalance_millis"] > imbalance_warn_millis:
+            import warnings
+
+            warnings.warn(
+                f"{prefix}_buckets imbalance {stats['imbalance_millis']}‰ "
+                f"exceeds {imbalance_warn_millis}‰ after append "
+                f"{commit_id!r} (max bucket {stats['max_bucket']} of "
+                f"{stats['n_vectors']} vectors): probes landing there scan "
+                "that fraction of the corpus — raise n_planes or move the "
+                "hot tier to the banded (band, key) layout",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    return landed
+
+
+def lsh_bucket_balance(catalog: ManifestCatalog, prefix: str = "lsh") -> dict:
+    """Bucket-occupancy skew over the CURRENT buckets snapshot (count per
+    hive-partition ``bucket`` — directory metadata + row counts, never the
+    vectors). Unlike IVF, the planes are data-independent (md5-derived), so
+    a rebuild does NOT rebalance — the stat is the observability signal for
+    the probe-cost blowup a drifted append causes: a probe that lands in a
+    bucket holding 30% of the corpus scans 30% of the corpus. The levers
+    are more planes (finer buckets) or moving the hot tier to the banded
+    (band, key) layout, not re-seeding.
+
+    Same integer convention as ivf_list_balance:
+    ``imbalance_millis = 1000 * max_bucket * n_buckets_possible // n_vectors``
+    where n_buckets_possible = 2^n_planes (1000 == perfectly uniform)."""
+    buckets = catalog.read(f"{prefix}_buckets", schema=LSH_SCHEMA)
+    if buckets is None:
+        raise ValueError(f"no {prefix}_buckets table — run build_lsh_index first")
+    meta = catalog.read(f"{prefix}_meta", schema=LSH_META_SCHEMA).collect()[0]
+    n_possible = 1 << int(meta["n_planes"])
+    counts = [
+        int(r["n"])
+        for r in buckets.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    ]
+    n_vectors = sum(counts)
+    max_bucket = max(counts, default=0)
+    return {
+        "n_vectors": n_vectors,
+        "n_buckets_possible": n_possible,
+        "n_buckets_nonempty": len(counts),
+        "max_bucket": max_bucket,
+        "mean_bucket_millis": (1000 * n_vectors) // n_possible,
+        "imbalance_millis": (1000 * max_bucket * n_possible) // max(n_vectors, 1),
+    }
 
 
 def lsh_topk_indexed(
@@ -520,6 +574,20 @@ def build_pq_index(
         f"{prefix}_codes", codes,
         _build_commit_id(catalog, f"{prefix}_codes"), mode="overwrite",
     )
+    # build-time quantization-error baseline (over the same deterministic
+    # sample the refinement used) — the yardstick pq_append's drift flag
+    # measures future batches against
+    stats = pq_quant_error(
+        cb, _sample(quantized, sample_mod, id_col), id_col=id_col, qv_col=qv_col
+    )
+    catalog.commit(
+        f"{prefix}_stats",
+        spark.createDataFrame(
+            [(stats["n_sample"], stats["mean_err"])], PQ_STATS_SCHEMA
+        ),
+        _build_commit_id(catalog, f"{prefix}_stats"),
+        mode="overwrite",
+    )
     return cb
 
 
@@ -533,6 +601,72 @@ def read_pq_codebook(catalog: ManifestCatalog, prefix: str = "pq") -> list[list[
     return [[rows[(m, k)] for k in range(n_codes)] for m in range(n_sub)]
 
 
+PQ_STATS_SCHEMA = "n_sample long, mean_err long"
+
+
+def pq_quant_error(
+    cb: list[list[list[int]]],
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    qv_col: str = "qv",
+) -> dict:
+    """Mean integer quantization error per vector under codebook ``cb``:
+    sum over subspaces of the squared residual ||x_m - cw[m][k_m]||^2, then
+    the truncated mean over vectors. The PQ drift signal: ADC score quality
+    degrades exactly as this residual grows, so a batch whose error is far
+    above the build-time baseline is being encoded by a codebook that no
+    longer fits it.
+
+    All JVM-side: encode with the frozen codebook, posexplode the M codes,
+    residual per (vector, subspace) via a codebook literal + zip_with —
+    n*M rows through one aggregation, no per-row Python. Dirty rows (NULL
+    codes) drop out, mirroring pq_encode_udf's contract."""
+    sub = len(cb[0][0])
+    cb_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(int(c)) for c in cw]) for cw in subspace])
+            for subspace in cb
+        ]
+    )
+    coded = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(qv_col).alias("qv"),
+        similarity.pq_encode_udf(cb)(F.col(qv_col)).alias("codes"),
+        cb_lit.alias("cb"),
+    ).filter(F.col("codes").isNotNull())
+    ex = coded.select(
+        "vec_id",
+        F.posexplode("codes").alias("m", "k"),
+        F.col("qv"),
+        F.col("cb"),
+    ).select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.slice("qv", F.col("m") * sub + 1, F.lit(sub)),
+                F.element_at(F.element_at("cb", F.col("m") + 1), F.col("k") + 1),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("err_m"),
+    )
+    row = ex.agg(
+        F.count_distinct("vec_id").alias("n"),
+        F.sum("err_m").alias("total"),
+    ).collect()[0]
+    n = int(row["n"])
+    return {"n_sample": n, "mean_err": int(row["total"]) // max(n, 1)}
+
+
+def pq_baseline_error(catalog: ManifestCatalog, prefix: str = "pq") -> dict | None:
+    rows = catalog.read(f"{prefix}_stats", schema=PQ_STATS_SCHEMA)
+    if rows is None:
+        return None
+    r = rows.collect()[0]
+    return {"n_sample": int(r["n_sample"]), "mean_err": int(r["mean_err"])}
+
+
 def pq_append(
     catalog: ManifestCatalog,
     new_vectors: DataFrame,
@@ -540,15 +674,48 @@ def pq_append(
     prefix: str = "pq",
     id_col: str = "vec_id",
     qv_col: str = "qv",
+    rebuild_threshold_millis: int | None = None,
 ) -> bool:
     """Encode NEW vectors with the frozen codebook, append one codes commit
-    (idempotent per commit_id); the standing codes are untouched."""
+    (idempotent per commit_id); the standing codes are untouched.
+
+    Drift management (the PQ analogue of ivf_append's balance flag): a
+    distribution-shifted append is encoded by a codebook that no longer
+    fits it — ADC scores silently degrade with no other signal. Pass
+    ``rebuild_threshold_millis`` to measure the batch's quantization error
+    against the build-time baseline (``<prefix>_stats``) and emit a
+    ``RuntimeWarning`` when ``1000 * batch_err // baseline_err`` exceeds
+    it. Advisory only: the flag tells the operator to schedule
+    ``build_pq_index`` on the grown corpus, it never auto-runs a rebuild
+    (a rebuild re-encodes the standing codes under the new codebook)."""
     cb = read_pq_codebook(catalog, prefix)
     codes = new_vectors.select(
         F.col(id_col).alias("vec_id"),
         similarity.pq_encode_udf(cb)(F.col(qv_col)).alias("codes"),
     )
-    return catalog.commit(f"{prefix}_codes", codes, commit_id)
+    landed = catalog.commit(f"{prefix}_codes", codes, commit_id)
+    if rebuild_threshold_millis is not None:
+        base = pq_baseline_error(catalog, prefix)
+        if base is None:
+            raise ValueError(
+                f"no {prefix}_stats baseline — rebuild the index with "
+                "build_pq_index (this version persists the error baseline)"
+            )
+        batch = pq_quant_error(cb, new_vectors, id_col=id_col, qv_col=qv_col)
+        ratio_millis = (1000 * batch["mean_err"]) // max(base["mean_err"], 1)
+        if ratio_millis > rebuild_threshold_millis:
+            import warnings
+
+            warnings.warn(
+                f"{prefix} append {commit_id!r} quantization error "
+                f"{batch['mean_err']} is {ratio_millis}‰ of the build "
+                f"baseline {base['mean_err']} (threshold "
+                f"{rebuild_threshold_millis}‰); schedule build_pq_index "
+                "on the grown corpus",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    return landed
 
 
 def pq_topk_indexed(

@@ -275,3 +275,101 @@ def test_pq_index_build_query_append(spark, ann_vectors, tmp_path):
     got2 = ann_index.pq_topk_indexed(cat, qvec, k=10)
     want2 = similarity.pq_topk(df, qvec, cb2, k=10)
     assert [tuple(r) for r in got2.collect()] == [tuple(r) for r in want2.collect()]
+
+
+def test_pq_append_drift_flag_and_rebuild(spark, tmp_path):
+    """A distribution-shifted append under the frozen codebook trips the
+    quantization-error drift flag (measured against the persisted build-time
+    baseline); an in-distribution append does not; the indexed query stays
+    exact vs the convenience path throughout; and a rebuild's refreshed
+    codebook fits the drifted region measurably better."""
+    import warnings as warnmod
+
+    rng = np.random.default_rng(13)
+    dim = 32
+    axes = np.eye(dim)[:8]
+
+    def mk(n, start_id, drift=False):
+        rows = []
+        for j in range(n):
+            v = axes[j % 8] + 0.05 * rng.standard_normal(dim)
+            v = v / np.linalg.norm(v)
+            if drift:
+                # scaled + shifted: a region no codeword was learned on
+                v = v * 3.0 + 0.8
+            rows.append((start_id + j, [int(x) for x in np.round(v * 1000)]))
+        return spark.createDataFrame(
+            rows, "vec_id long, qv array<long>"
+        ).repartition(4)
+
+    base = mk(240, 0)
+    cat = ManifestCatalog(str(tmp_path / "pqdrift"), spark)
+    cb = ann_index.build_pq_index(
+        cat, base, n_subspaces=8, n_codes=16, refine=1, dim=dim
+    )
+    baseline = ann_index.pq_baseline_error(cat)
+    assert baseline is not None
+    assert baseline["n_sample"] == 240 and baseline["mean_err"] > 0
+
+    # in-distribution append: flag must stay quiet
+    ind = mk(40, 1000)
+    with warnmod.catch_warnings():
+        warnmod.simplefilter("error", RuntimeWarning)
+        ann_index.pq_append(
+            cat, ind, commit_id="ok-1", rebuild_threshold_millis=2000
+        )
+
+    # drifted append: error blows past 2x the baseline -> advisory warning
+    drift = mk(60, 2000, drift=True)
+    with pytest.warns(RuntimeWarning, match="schedule build_pq_index"):
+        ann_index.pq_append(
+            cat, drift, commit_id="skew-1", rebuild_threshold_millis=2000
+        )
+    err_frozen = ann_index.pq_quant_error(cb, drift)["mean_err"]
+    assert (1000 * err_frozen) // baseline["mean_err"] > 2000
+
+    # flagged or not, the codes table stays exact vs the convenience path
+    full = base.unionByName(ind).unionByName(drift)
+    qvec = [int(x) for x in base.filter(F.col("vec_id") == 5).collect()[0]["qv"]]
+    got = ann_index.pq_topk_indexed(cat, qvec, k=10)
+    want = similarity.pq_topk(full, qvec, cb, k=10)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    # rebuild on the grown corpus: new baseline persisted, the refreshed
+    # codebook fits the drifted region strictly better than the frozen one,
+    # and the indexed query matches the convenience path under the new book
+    cb2 = ann_index.build_pq_index(
+        cat, full, n_subspaces=8, n_codes=16, refine=1, dim=dim
+    )
+    base2 = ann_index.pq_baseline_error(cat)
+    assert base2 is not None and base2 != baseline
+    assert ann_index.pq_quant_error(cb2, drift)["mean_err"] < err_frozen
+    got2 = ann_index.pq_topk_indexed(cat, qvec, k=10)
+    want2 = similarity.pq_topk(full, qvec, cb2, k=10)
+    assert [tuple(r) for r in got2.collect()] == [tuple(r) for r in want2.collect()]
+
+
+def test_lsh_append_imbalance_warn(spark, ann_vectors, tmp_path):
+    """A pile of near-identical appends concentrates one LSH bucket; the
+    append-time balance stat surfaces it (probes landing there scan that
+    fraction of the corpus). No rebuild lever for LSH — planes are
+    data-independent — so the warning is observability plus guidance."""
+    df, q = ann_vectors
+    cat = ManifestCatalog(str(tmp_path / "lshbal"), spark)
+    ann_index.build_lsh_index(cat, df.filter(F.col("vec_id") < 300), n_planes=6)
+    s0 = ann_index.lsh_bucket_balance(cat)
+    assert s0["n_vectors"] == 300 and s0["n_buckets_possible"] == 64
+    assert 0 < s0["imbalance_millis"] < 15_000
+
+    clones = spark.createDataFrame(
+        [(5000 + j, q[0]) for j in range(300)], "vec_id long, qv array<long>"
+    ).repartition(4)
+    with pytest.warns(RuntimeWarning, match="imbalance"):
+        ann_index.lsh_append(
+            cat, clones, commit_id="pile-1",
+            imbalance_warn_millis=s0["imbalance_millis"],
+        )
+    s1 = ann_index.lsh_bucket_balance(cat)
+    assert s1["n_vectors"] == 600
+    assert s1["max_bucket"] >= 300
+    assert s1["imbalance_millis"] > s0["imbalance_millis"]

@@ -144,21 +144,56 @@ def build_ivf_index(
     NULL-pads the refinement dots and skews assignment, diverging from the
     cross-engine oracle that filters ``len(qv) = dim``.
 
-    ``seed_mod`` strides the SEED pool (smallest n_lists ids among rows with
-    ``id % seed_mod == 0``) — the rebuild lever after drifted appends: the
-    default smallest-id seeding samples only the oldest corpus region, so a
-    rebuild triggered by ``ivf_rebuild_needed`` would re-seed from exactly
-    the vectors that predate the drift and re-learn the stale layout. A
-    stride spanning the full id range places seeds inside appended regions
-    too, letting the refinement split their mass. Deterministic, so rebuilds
-    stay reproducible; the cross-engine oracle twin uses seed_mod=1."""
-    seed_pool = _sample(quantized, seed_mod, id_col)
-    cents = similarity.ivf_seed_centroids(seed_pool, n_lists, id_col, qv_col)
-    if seed_mod > 1 and cents.count() < n_lists:
-        raise ValueError(
-            f"seed_mod={seed_mod} leaves fewer than n_lists={n_lists} seed "
-            "candidates — lower the stride"
+    ``seed_mod`` > 1 switches to RANGE-SPREAD seeding — the rebuild lever
+    after drifted appends: the default smallest-id seeding samples only the
+    oldest corpus region, so a rebuild triggered by ``ivf_rebuild_needed``
+    would re-seed from exactly the vectors that predate the drift and
+    re-learn the stale layout. The strided pool (``id % seed_mod == 0``) is
+    split into ``n_lists`` equal id-range cells and the smallest pool id in
+    each cell becomes a seed (empty cells top up from the smallest unused
+    pool ids), so seeds genuinely span [min_id, max_id] — including
+    appended regions — for ANY stride, not just strides that happen to
+    leave <= n_lists survivors. Deterministic, so rebuilds stay
+    reproducible; the cross-engine oracle twin uses seed_mod=1 (smallest-id
+    seeding, `similarity.ivf_seed_centroids`)."""
+    if seed_mod <= 1:
+        cents = similarity.ivf_seed_centroids(quantized, n_lists, id_col, qv_col)
+    else:
+        pool = _sample(quantized, seed_mod, id_col)
+        b = pool.agg(
+            F.min(id_col).alias("lo"),
+            F.max(id_col).alias("hi"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        if int(b["n"] or 0) < n_lists:
+            raise ValueError(
+                f"seed_mod={seed_mod} leaves fewer than n_lists={n_lists} "
+                "seed candidates — lower the stride"
+            )
+        lo, span = int(b["lo"]), max(int(b["hi"]) - int(b["lo"]) + 1, 1)
+        mins = (
+            pool.groupBy(
+                F.expr(f"div(({id_col} - {lo}) * {n_lists}, {span})").alias("__cell")
+            )
+            .agg(F.min(id_col).alias("sid"))
+            .select("sid")
         )
+        short = n_lists - mins.count()
+        if short > 0:
+            # empty cells (sparse pool): top up with the smallest pool ids
+            # not already chosen so the seed count is always n_lists
+            extras = (
+                pool.join(
+                    F.broadcast(mins), F.col(id_col) == F.col("sid"), "left_anti"
+                )
+                .orderBy(F.col(id_col).asc())
+                .limit(short)
+                .select(F.col(id_col).alias("sid"))
+            )
+            mins = mins.unionByName(extras)
+        cents = pool.join(
+            F.broadcast(mins), F.col(id_col) == F.col("sid")
+        ).select(F.col(id_col).alias("cid"), F.col(qv_col).alias("cv"))
     if refine > 0:
         cents = ivf_refine(
             quantized, cents, iters=refine, sample_mod=sample_mod,
@@ -221,7 +256,9 @@ def ivf_append(
     landed = catalog.commit(
         f"{prefix}_lists", assigned, commit_id, partition_by=["list_id"]
     )
-    if rebuild_threshold_millis is not None:
+    # drift check only on a commit that actually landed: an idempotent
+    # replay no-op must not re-scan the lists or re-emit the warning
+    if landed and rebuild_threshold_millis is not None:
         flagged, stats = ivf_rebuild_needed(
             catalog, rebuild_threshold_millis, prefix=prefix
         )
@@ -393,7 +430,8 @@ def lsh_append(
     landed = catalog.commit(
         f"{prefix}_buckets", bucketed, commit_id, partition_by=["bucket"]
     )
-    if imbalance_warn_millis is not None:
+    # skew check only on a commit that actually landed (replay no-ops skip)
+    if landed and imbalance_warn_millis is not None:
         stats = lsh_bucket_balance(catalog, prefix)
         if stats["imbalance_millis"] > imbalance_warn_millis:
             import warnings
@@ -427,7 +465,10 @@ def lsh_bucket_balance(catalog: ManifestCatalog, prefix: str = "lsh") -> dict:
     buckets = catalog.read(f"{prefix}_buckets", schema=LSH_SCHEMA)
     if buckets is None:
         raise ValueError(f"no {prefix}_buckets table — run build_lsh_index first")
-    meta = catalog.read(f"{prefix}_meta", schema=LSH_META_SCHEMA).collect()[0]
+    meta_df = catalog.read(f"{prefix}_meta", schema=LSH_META_SCHEMA)
+    if meta_df is None:
+        raise ValueError(f"no {prefix}_meta table — run build_lsh_index first")
+    meta = meta_df.collect()[0]
     n_possible = 1 << int(meta["n_planes"])
     counts = [
         int(r["n"])
@@ -604,6 +645,48 @@ def read_pq_codebook(catalog: ManifestCatalog, prefix: str = "pq") -> list[list[
 PQ_STATS_SCHEMA = "n_sample long, mean_err long"
 
 
+def _pq_error_from_coded(coded: DataFrame, cb: list[list[list[int]]]) -> dict:
+    """Residual aggregation over an ALREADY-ENCODED ``(vec_id, qv, codes)``
+    frame (so callers that just encoded for a commit don't pay a second
+    encode pass): posexplode the M codes, residual per (vector, subspace)
+    via a codebook literal + zip_with — n*M rows through one aggregation,
+    no per-row Python. NULL-codes rows (dirty inputs) drop out."""
+    sub = len(cb[0][0])
+    cb_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(int(c)) for c in cw]) for cw in subspace])
+            for subspace in cb
+        ]
+    )
+    ex = (
+        coded.filter(F.col("codes").isNotNull())
+        .select(
+            "vec_id",
+            F.posexplode("codes").alias("m", "k"),
+            F.col("qv"),
+            cb_lit.alias("cb"),
+        )
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.slice("qv", F.col("m") * sub + 1, F.lit(sub)),
+                    F.element_at(F.element_at("cb", F.col("m") + 1), F.col("k") + 1),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("err_m"),
+        )
+    )
+    row = ex.agg(
+        F.count_distinct("vec_id").alias("n"),
+        F.sum("err_m").alias("total"),
+    ).collect()[0]
+    n = int(row["n"])
+    return {"n_sample": n, "mean_err": int(row["total"] or 0) // max(n, 1)}
+
+
 def pq_quant_error(
     cb: list[list[list[int]]],
     vectors: DataFrame,
@@ -615,48 +698,13 @@ def pq_quant_error(
     the truncated mean over vectors. The PQ drift signal: ADC score quality
     degrades exactly as this residual grows, so a batch whose error is far
     above the build-time baseline is being encoded by a codebook that no
-    longer fits it.
-
-    All JVM-side: encode with the frozen codebook, posexplode the M codes,
-    residual per (vector, subspace) via a codebook literal + zip_with —
-    n*M rows through one aggregation, no per-row Python. Dirty rows (NULL
-    codes) drop out, mirroring pq_encode_udf's contract."""
-    sub = len(cb[0][0])
-    cb_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(int(c)) for c in cw]) for cw in subspace])
-            for subspace in cb
-        ]
-    )
+    longer fits it."""
     coded = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(qv_col).alias("qv"),
         similarity.pq_encode_udf(cb)(F.col(qv_col)).alias("codes"),
-        cb_lit.alias("cb"),
-    ).filter(F.col("codes").isNotNull())
-    ex = coded.select(
-        "vec_id",
-        F.posexplode("codes").alias("m", "k"),
-        F.col("qv"),
-        F.col("cb"),
-    ).select(
-        "vec_id",
-        F.aggregate(
-            F.zip_with(
-                F.slice("qv", F.col("m") * sub + 1, F.lit(sub)),
-                F.element_at(F.element_at("cb", F.col("m") + 1), F.col("k") + 1),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("err_m"),
     )
-    row = ex.agg(
-        F.count_distinct("vec_id").alias("n"),
-        F.sum("err_m").alias("total"),
-    ).collect()[0]
-    n = int(row["n"])
-    return {"n_sample": n, "mean_err": int(row["total"]) // max(n, 1)}
+    return _pq_error_from_coded(coded, cb)
 
 
 def pq_baseline_error(catalog: ManifestCatalog, prefix: str = "pq") -> dict | None:
@@ -689,19 +737,31 @@ def pq_append(
     ``build_pq_index`` on the grown corpus, it never auto-runs a rebuild
     (a rebuild re-encodes the standing codes under the new codebook)."""
     cb = read_pq_codebook(catalog, prefix)
-    codes = new_vectors.select(
-        F.col(id_col).alias("vec_id"),
-        similarity.pq_encode_udf(cb)(F.col(qv_col)).alias("codes"),
-    )
-    landed = catalog.commit(f"{prefix}_codes", codes, commit_id)
+    base = None
     if rebuild_threshold_millis is not None:
+        # validate BEFORE the commit: raising after the codes landed would
+        # lose the append result behind an exception (and a retry would be
+        # a silent no-op that raises again)
         base = pq_baseline_error(catalog, prefix)
         if base is None:
             raise ValueError(
                 f"no {prefix}_stats baseline — rebuild the index with "
                 "build_pq_index (this version persists the error baseline)"
             )
-        batch = pq_quant_error(cb, new_vectors, id_col=id_col, qv_col=qv_col)
+    coded = new_vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(qv_col).alias("qv"),
+        similarity.pq_encode_udf(cb)(F.col(qv_col)).alias("codes"),
+    )
+    if rebuild_threshold_millis is not None:
+        # pin so the commit and the drift measurement share ONE encode pass
+        coded = coded.localCheckpoint()
+    landed = catalog.commit(
+        f"{prefix}_codes", coded.select("vec_id", "codes"), commit_id
+    )
+    # drift check only on a commit that actually landed (replay no-ops skip)
+    if landed and rebuild_threshold_millis is not None:
+        batch = _pq_error_from_coded(coded, cb)
         ratio_millis = (1000 * batch["mean_err"]) // max(base["mean_err"], 1)
         if ratio_millis > rebuild_threshold_millis:
             import warnings

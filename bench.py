@@ -55,6 +55,7 @@ HEADLINE_QUERIES = [
     "text_keyword_topk",
     "pipeline_sample_mix",
     "pipeline_training_mix",
+    "pipeline_training_mix_semantic",
     "sessionize_events",
     "dedup_embedding_lsh",
     "ann_dot_topk",
@@ -64,6 +65,7 @@ HEADLINE_QUERIES = [
     "ann_ivf_indexed",
     "ann_lsh_indexed",
     "ann_pq_indexed",
+    "multimodal_neardup_frames",
     "multimodal_features",
 ]
 
@@ -250,6 +252,7 @@ def run_queries(cpus: int, sf_dir: str) -> dict[str, float]:
     # *_indexed cells time the deployment shape (build once, query many),
     # not a rebuild per query
     entrymod._ann_index_catalog(spark, sf_dir)
+    entrymod._frame_index_catalog(spark, sf_dir)
     out: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
         t0 = time.monotonic()
@@ -322,6 +325,23 @@ def main() -> None:
                 probe["recheck"] = host_probe(n_small, n_big)
                 reps = 3
         eff = _eff()
+        # per-rep pairing: each rep's small/big runs are adjacent in time, so
+        # their ratio cancels slow host drift that best-of pairing can't
+        # (best-of can pair a congested small run with a quiet big run and
+        # read super-linear). If best-of stays implausible after 3 reps, the
+        # official cell falls back to the per-rep MEDIAN — drift-cancelling
+        # and outlier-rejecting — with both estimators recorded.
+        per_rep = [
+            round(t["wall_n"] / t["wall_4n"] / (n_big / n_small), 3) for t in trail
+        ]
+        estimator = "best-of"
+        if not 0.7 <= eff <= 1.0:
+            eff = sorted(per_rep)[len(per_rep) // 2]
+            estimator = "per-rep-median"
+            log(
+                f"best-of efficiency {_eff():.3f} implausible after {reps} reps"
+                f" — recording per-rep median {eff:.3f} (per-rep: {per_rep})"
+            )
         # wall = W/N + f fit: W = parallel core-seconds (scales with
         # executors), f = additive non-scaling term (driver planning + this
         # host's single disk — the component a real N-node cluster scales,
@@ -337,6 +357,8 @@ def main() -> None:
             "throughput_n": s_small["throughput_urls_per_sec"],
             "throughput_4n": s_big["throughput_urls_per_sec"],
             "efficiency": round(eff, 3),
+            "estimator": estimator,
+            "per_rep_efficiency": per_rep,
             "fit": {"parallel_work_core_s": round(w_core_s, 1), "additive_floor_s": round(f_s, 1)},
             "runs": {"n": s_small, "n4": s_big},
             "host_probe": probe,

@@ -53,6 +53,8 @@ HEADLINE_QUERIES = [
     "dedup_chunks",
     "text_decontaminate",
     "text_keyword_topk",
+    "text_lm_score",
+    "pipeline_domain_stats",
     "pipeline_sample_mix",
     "pipeline_training_mix",
     "pipeline_training_mix_semantic",

@@ -117,13 +117,19 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def gopher_quality(
+    docs: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Gopher-rules-style quality gates (the standard webtext pre-training
     filter family): word count bounds, mean word length, alphabetic-word
     ratio, stopword presence — all integer-scaled JVM built-ins so the DuckDB
     oracle matches bit-for-bit. ``gopher_pass`` applies the canonical
     thresholds (50 <= words <= 100k, 3 <= mean word len <= 10 in millis,
-    >=80% alphabetic words, >=2 stopword hits)."""
+    >=80% alphabetic words, >=2 stopword hits).
+
+    ``keep`` threads extra input columns (e.g. grouping keys) through to the
+    output so rollups over the gate don't need a corpus-scale self-join back
+    onto the input."""
     t = F.col(text_col)
     toks = tokens_col(t)
     n_words = F.size(toks).cast("long")
@@ -145,11 +151,12 @@ def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit(0).cast("long"),
     )
     base = docs.select(
-        "doc_id", n_words.alias("nw"), sum_len.alias("swl"), alpha_words.alias("aw"),
-        stop.alias("stopword_hits"),
+        "doc_id", *keep, n_words.alias("nw"), sum_len.alias("swl"),
+        alpha_words.alias("aw"), stop.alias("stopword_hits"),
     )
     out = base.select(
         "doc_id",
+        *keep,
         F.col("nw").alias("word_count"),
         mean_word_len_millis.alias("mean_word_len_millis"),
         alpha_permille.alias("alpha_word_permille"),
@@ -273,4 +280,94 @@ def keyword_topk(
         .filter(F.col("score_micros") > 0)
         .orderBy(F.col("score_micros").desc(), F.col("doc_id").asc())
         .limit(k)
+    )
+
+
+def lm_bigram_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained bigram-LM fluency score per document — the CCNet-shaped
+    quality signal (score each doc by how well an n-gram LM fit on the corpus
+    predicts it; unusually low scores flag gibberish/boilerplate, unusually
+    high ones flag templated text). Ref behavior modeled on the quality-gate
+    role of the reference's extension/skip heuristics (crawler-service has no
+    text LM; this is the training-pipeline extension the brief asks for).
+
+    Integer contract (cross-engine exact, no floats/logs): the LM is the
+    conditional probability table p(w2|w1) in millis —
+    ``(1000 * count(w1,w2)) DIV count(w1)`` with counts over the corpus's own
+    bigrams, so every doc bigram has count >= 1 and no smoothing is needed.
+    A doc's score is the mean conditional probability of its bigrams in
+    millis (``sum_millis DIV n_bigrams``). Docs with < 2 tokens have no
+    bigrams and drop out.
+
+    Scale shape: the (w1,w2)-count frame is a vocab-bounded map-side-
+    combinable aggregation; the (w1) denominators are DERIVED from it (sum
+    over w2), not a second corpus pass, and the two vocab frames join first —
+    so the corpus is tokenized/exploded exactly twice (once to build the LM
+    counts, once as the scoring probe side) and shuffled at corpus scale
+    exactly once (the probe join), then one rollup shuffle on the doc id.
+    Hot stopword-pair keys are one-row build-side entries (AQE skew split
+    handles the probe side)."""
+    toks = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= 2)
+    n1 = F.size("t") - 1
+    bg = toks.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, n1),
+                F.slice("t", 2, n1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c_bg = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
+    # c(w1) = sum over w2 of c(w1,w2): derived from the vocab-bounded c_bg
+    # frame instead of a second corpus-scale tokenize+explode pass
+    c_w1 = c_bg.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
+    lm = c_bg.join(c_w1, "w1").select(
+        "w1", "w2", F.expr("div(1000 * c_bg, c_w1)").alias("m")
+    )
+    return (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bigrams"), F.sum("m").alias("sum_millis"))
+        .select(
+            id_col,
+            "n_bigrams",
+            "sum_millis",
+            F.expr("div(sum_millis, n_bigrams)").alias("lm_millis"),
+        )
+    )
+
+
+def corpus_domain_stats(
+    docs: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(source, lang) corpus diagnostics rollup — the C4/Gopher-paper
+    reporting table a corpus build publishes alongside the mix: doc counts,
+    exact-dup counts (docs minus distinct text-md5), token totals/means, and
+    Gopher-gate pass counts. One corpus scan (the gate threads the grouping
+    keys through ``keep``, no self-join), one map-side-combinable rollup
+    shuffle on the low-cardinality group keys; count_distinct is Spark's
+    standard two-phase partial-distinct expansion."""
+    g = gopher_quality(docs, text_col=text_col, keep=(*group_cols, text_col))
+    agg = g.groupBy(*group_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(F.md5(text_col)).alias("n_unique"),
+        F.sum("word_count").alias("total_tokens"),
+        F.sum(F.col("gopher_pass").cast("long")).alias("n_gopher_pass"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "n_unique",
+        (F.col("n_docs") - F.col("n_unique")).alias("n_exact_dups"),
+        "total_tokens",
+        F.expr("div(total_tokens, n_docs)").alias("mean_tokens"),
+        "n_gopher_pass",
     )

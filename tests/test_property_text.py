@@ -101,3 +101,93 @@ def test_session_rollup_matches_python_reference(spark, user_times):
         for k, (n, lo, hi, d) in _py_sessions(events, 300).items()
     }
     assert got == want
+
+
+def _py_lm_scores(docs):
+    """Pure-Python twin of textquality.lm_bigram_score's integer formula."""
+    import re
+
+    toks = {d: [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w] for d, t in docs}
+    c_bg: dict[tuple[str, str], int] = {}
+    c_w1: dict[str, int] = {}
+    for ws in toks.values():
+        for a, b in zip(ws, ws[1:]):
+            c_bg[(a, b)] = c_bg.get((a, b), 0) + 1
+            c_w1[a] = c_w1.get(a, 0) + 1
+    out = {}
+    for d, _ in docs:
+        ws = toks[d]
+        if len(ws) < 2:
+            continue
+        ms = [(1000 * c_bg[(a, b)]) // c_w1[a] for a, b in zip(ws, ws[1:])]
+        out[d] = (len(ms), sum(ms), sum(ms) // len(ms))
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=0, max_size=12),
+        min_size=2, max_size=8,
+    )
+)
+def test_lm_bigram_score_matches_python_reference(spark, doc_words):
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(doc_words)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_millis"], r["lm_millis"])
+        for r in textquality.lm_bigram_score(df).collect()
+    }
+    assert got == _py_lm_scores(docs)
+
+
+def test_lm_bigram_score_partition_invariant(spark):
+    docs = [(i, f"the quick fox {i % 3} jumps the fox") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(map(tuple, textquality.lm_bigram_score(df).collect()))
+    b = sorted(map(tuple, textquality.lm_bigram_score(df.repartition(7)).collect()))
+    assert a == b and len(a) == 40
+
+
+def test_corpus_domain_stats_matches_python_reference(spark):
+    import hashlib
+    import re
+
+    rows = []
+    for i in range(30):
+        src = ["web", "wiki"][i % 2]
+        lang = ["en", "de", "fr"][i % 3]
+        # make some exact dups within a group and a mix of gopher pass/fail
+        text = ("the and of to a " * 12) if i % 4 else "tiny"
+        if i % 5 == 0:
+            text = text + f" unique{i}"
+        rows.append((i, text, lang, src))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+    def words(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    exp: dict[tuple[str, str], list] = {}
+    for _i, text, lang, src in rows:
+        ws = words(text)
+        nw = len(ws)
+        mwl = (1000 * sum(len(w) for w in ws)) // nw if nw else 0
+        alpha = (1000 * sum(1 for w in ws if re.search("[a-z]", w))) // nw if nw else 0
+        stop = sum(ws.count(w) for w in ["the", "and", "of", "to", "a"])
+        gp = 50 <= nw <= 100_000 and 3000 <= mwl <= 10_000 and alpha >= 800 and stop >= 2
+        e = exp.setdefault((src, lang), [0, set(), 0, 0])
+        e[0] += 1
+        e[1].add(hashlib.md5(text.encode()).hexdigest())
+        e[2] += nw
+        e[3] += int(gp)
+    got = {
+        (r["source"], r["lang"]): (
+            r["n_docs"], r["n_unique"], r["n_exact_dups"], r["total_tokens"],
+            r["mean_tokens"], r["n_gopher_pass"],
+        )
+        for r in textquality.corpus_domain_stats(df).collect()
+    }
+    assert got == {
+        k: (n, len(h), n - len(h), tt, tt // n, gp)
+        for k, (n, h, tt, gp) in exp.items()
+    }

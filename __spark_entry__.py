@@ -519,6 +519,16 @@ def _dedup_minhash_cluster(spark, sf):
     )
 
 
+def _dedup_cluster_histogram(spark, sf):
+    """Cluster-size distribution over near-dup clusters (incl. the size-1
+    row), the dedup report table a corpus build publishes next to the mix."""
+    return docdedup.minhash_cluster_histogram(
+        _t(spark, sf, "documents"),
+        num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        threshold_permille=JACCARD_THRESHOLD,
+    )
+
+
 def _dedup_incremental(spark, sf):
     """Incremental (batch-vs-index) dedup: docs with doc_id % INCR_BATCH_MOD
     == 0 play 'tonight's crawl', the rest the standing corpus index."""
@@ -1072,18 +1082,20 @@ def _multimodal_neardup_frames(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's CORRECTNESS order, and the driver caps
     the record at 50 rows per round — so ordering is a rotation policy, not
-    cosmetic (see REGISTRY.md). Round 5 (69 entries): the seven NEW queries
-    lead (bigram-LM fluency score, domain diagnostics rollup, three
-    persisted-index ANN paths, the SemDeDup training mix, the multimodal
-    near-dup-frames pipeline — never driver-checked), ann_pq_topk stays
-    in-window because its oracle gained the dirty-row predicate this round
-    (rule 3), the 12 queries whose r03 green rows go stale after this round
-    rotate back in (rule 2), and 19 r04-green unchanged veterans rotate to
-    tail positions 51-69 (a7/a8 displaced this round to make window room)."""
+    cosmetic (see REGISTRY.md). Round 5 (70 entries): the eight NEW queries
+    lead (bigram-LM fluency score, domain diagnostics rollup, near-dup
+    cluster-size histogram, three persisted-index ANN paths, the SemDeDup
+    training mix, the multimodal near-dup-frames pipeline — never
+    driver-checked), ann_pq_topk stays in-window because its oracle gained
+    the dirty-row predicate this round (rule 3), the 12 queries whose r03
+    green rows go stale after this round rotate back in (rule 2), and 20
+    r04-green unchanged veterans rotate to tail positions 51-70
+    (text_keyword_topk/a7/a8 displaced this round to make window room)."""
     return {
-        # -- new round 5 (corpus-quality LM score + diagnostics rollup) -----
+        # -- new round 5 (corpus-quality LM score + diagnostics rollups) ----
         "text_lm_score": _text_lm_score,
         "pipeline_domain_stats": _pipeline_domain_stats,
+        "dedup_cluster_histogram": _dedup_cluster_histogram,
         # -- new round 5 (persisted-index ANN production paths) -------------
         "ann_ivf_indexed": _ann_ivf_indexed,
         "ann_lsh_indexed": _ann_lsh_indexed,
@@ -1135,8 +1147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": _dedup_embedding_pairs,
         "text_quality": _text_quality,
         "text_langid": _text_langid,
-        "text_keyword_topk": _text_keyword_topk,
         # -- tail (positions 51+): r04 green rows banked, unchanged round 5 -
+        "text_keyword_topk": _text_keyword_topk,
         "a7_distinct_parts": _a7_distinct_parts,
         "a8_collect_sorted_list": _a8_collect_sorted_list,
         "q1_pricing_summary": _q1_pricing_summary,
@@ -1358,6 +1370,38 @@ def _minhash_cluster_sql() -> str:
         FROM comp GROUP BY cluster_id
     """
     )
+
+
+def _cluster_histogram_sql() -> str:
+    """DuckDB twin of minhash_cluster_histogram: the cluster rollup (same
+    recursive-CTE closure as _minhash_cluster_sql) aggregated into a size
+    distribution, plus the size-1 row (n_total - docs covered by clusters)
+    so sum(n_docs) equals the corpus."""
+    return f"""
+        WITH clusters AS (
+            SELECT n_members FROM ({_minhash_cluster_sql()})
+        ),
+        hist AS (
+            SELECT n_members, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM clusters GROUP BY n_members
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+        cov AS (
+            SELECT CAST(coalesce(sum(n_members * n_clusters), 0) AS BIGINT)
+                   AS n_covered
+            FROM hist
+        ),
+        uni AS (
+            SELECT n_members, n_clusters FROM hist
+            UNION ALL
+            SELECT CAST(1 AS BIGINT) AS n_members,
+                   CAST(tot.n_total - cov.n_covered AS BIGINT) AS n_clusters
+            FROM tot, cov
+        )
+        SELECT n_members, n_clusters,
+               CAST(n_members * n_clusters AS BIGINT) AS n_docs
+        FROM uni
+    """
 
 
 def _minhash_incremental_sql() -> str:
@@ -2133,6 +2177,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_minhash_verified": _minhash_verified_sql(),
         "dedup_minhash_cluster": _minhash_cluster_sql(),
+        "dedup_cluster_histogram": _cluster_histogram_sql(),
         "dedup_incremental": _minhash_incremental_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_chunks": f"""

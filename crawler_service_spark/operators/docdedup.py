@@ -360,6 +360,52 @@ def minhash_dup_clusters(
     )
 
 
+def minhash_cluster_histogram(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold_permille: int = 300,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cluster-size distribution over the near-dup clusters — the dedup
+    report table corpus builds publish next to the mix (how much of the
+    corpus sits in 2-doc clusters vs mega-clusters decides whether keeper
+    selection or wholesale cluster drops are the right policy). Includes the
+    size-1 row (docs in no cluster) so ``sum(n_docs)`` equals the corpus.
+
+    Output: (n_members, n_clusters, n_docs = n_members * n_clusters).
+
+    Scale shape: everything after minhash_dup_clusters is rollups over the
+    cluster frame (|clusters| << |corpus|); the singleton row joins two
+    1-row aggregates on a literal key — no corpus-scale work added."""
+    sizes = minhash_dup_clusters(
+        docs, num_hashes=num_hashes, bands=bands, n=n,
+        threshold_permille=threshold_permille, text_col=text_col,
+    ).select("n_members")
+    hist = sizes.groupBy("n_members").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    )
+    total = docs.agg(F.count("*").alias("n_total")).withColumn("k", F.lit(1))
+    covered = hist.agg(
+        F.coalesce(F.sum(F.col("n_members") * F.col("n_clusters")), F.lit(0))
+        .cast("long")
+        .alias("n_covered")
+    ).withColumn("k", F.lit(1))
+    singles = (
+        total.join(covered, "k")
+        .select(
+            F.lit(1).cast("long").alias("n_members"),
+            (F.col("n_total") - F.col("n_covered")).cast("long").alias("n_clusters"),
+        )
+    )
+    return hist.unionByName(singles).select(
+        "n_members",
+        "n_clusters",
+        (F.col("n_members") * F.col("n_clusters")).cast("long").alias("n_docs"),
+    )
+
+
 def minhash_incremental_dups(
     new_docs: DataFrame,
     index_docs: DataFrame,

@@ -307,6 +307,37 @@ def test_minhash_cluster_matches_union_find(spark):
         assert r["cluster_id"] == min(expected[r["cluster_id"]])
 
 
+def test_cluster_histogram_partitions_the_corpus(spark):
+    """The size distribution must (a) agree with the cluster rollup it is
+    derived from, (b) include a size-1 row so sum(n_docs) == |corpus|, and
+    (c) keep n_docs == n_members * n_clusters row-wise."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank at dawn every single day"
+    d = _docs(
+        spark,
+        [
+            (1, base),
+            (2, base),                                  # cluster {1,2,3}
+            (3, base.replace("dawn", "dusk")),
+            (4, "completely different text about spark shuffles and partition skew in big batch jobs"),
+            (5, "completely different text about spark shuffles and partition skew in big batch work"),
+            (6, "a unique short document with nothing in common with the others at all whatsoever today"),
+            (7, "another singleton document covering parquet row group sizing and column pruning entirely"),
+        ],
+    )
+    clusters = docdedup.minhash_dup_clusters(d, threshold_permille=300).collect()
+    expected = {}
+    for r in clusters:
+        expected[r["n_members"]] = expected.get(r["n_members"], 0) + 1
+    covered = sum(r["n_members"] for r in clusters)
+    expected[1] = 7 - covered
+
+    hist = docdedup.minhash_cluster_histogram(d, threshold_permille=300).collect()
+    assert {r["n_members"]: r["n_clusters"] for r in hist} == expected
+    assert all(r["n_docs"] == r["n_members"] * r["n_clusters"] for r in hist)
+    assert sum(r["n_docs"] for r in hist) == 7
+    assert {r["n_members"] for r in hist} >= {1}, "size-1 row always present"
+
+
 def test_incremental_dups_flags_only_index_matches(spark):
     """Batch docs are flagged iff they near-duplicate an INDEX doc; a batch
     doc that only duplicates another batch doc is NOT flagged (the standing

@@ -691,6 +691,13 @@ def _pipeline_domain_stats(spark, sf):
     return textquality.corpus_domain_stats(_t(spark, sf, "documents"))
 
 
+def _pipeline_lm_buckets(spark, sf):
+    """CCNet-style head/middle/tail split by LM fluency per language —
+    value-based tercile cutoffs from the bounded (lang, lm_millis)
+    distribution, no corpus-scale sort."""
+    return textquality.lm_perplexity_buckets(_t(spark, sf, "documents"))
+
+
 SAMPLE_RATES = {"en": 700, "de": 400, "fr": 250, "es": 250, "zh": 100}
 SAMPLE_DEFAULT = 50
 SAMPLE_SALT = "mix1"
@@ -1082,20 +1089,22 @@ def _multimodal_neardup_frames(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's CORRECTNESS order, and the driver caps
     the record at 50 rows per round — so ordering is a rotation policy, not
-    cosmetic (see REGISTRY.md). Round 5 (70 entries): the eight NEW queries
+    cosmetic (see REGISTRY.md). Round 5 (71 entries): the nine NEW queries
     lead (bigram-LM fluency score, domain diagnostics rollup, near-dup
-    cluster-size histogram, three persisted-index ANN paths, the SemDeDup
-    training mix, the multimodal near-dup-frames pipeline — never
-    driver-checked), ann_pq_topk stays in-window because its oracle gained
-    the dirty-row predicate this round (rule 3), the 12 queries whose r03
-    green rows go stale after this round rotate back in (rule 2), and 20
-    r04-green unchanged veterans rotate to tail positions 51-70
-    (text_keyword_topk/a7/a8 displaced this round to make window room)."""
+    cluster-size histogram, CCNet-style LM perplexity buckets, three
+    persisted-index ANN paths, the SemDeDup training mix, the multimodal
+    near-dup-frames pipeline — never driver-checked), ann_pq_topk stays
+    in-window because its oracle gained the dirty-row predicate this round
+    (rule 3), the 12 queries whose r03 green rows go stale after this round
+    rotate back in (rule 2), and 21 r04-green unchanged veterans rotate to
+    tail positions 51-71 (text_langid/text_keyword_topk/a7/a8 displaced
+    this round to make window room)."""
     return {
         # -- new round 5 (corpus-quality LM score + diagnostics rollups) ----
         "text_lm_score": _text_lm_score,
         "pipeline_domain_stats": _pipeline_domain_stats,
         "dedup_cluster_histogram": _dedup_cluster_histogram,
+        "pipeline_lm_buckets": _pipeline_lm_buckets,
         # -- new round 5 (persisted-index ANN production paths) -------------
         "ann_ivf_indexed": _ann_ivf_indexed,
         "ann_lsh_indexed": _ann_lsh_indexed,
@@ -1146,8 +1155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _dedup_incremental,
         "dedup_embedding_pairs": _dedup_embedding_pairs,
         "text_quality": _text_quality,
-        "text_langid": _text_langid,
         # -- tail (positions 51+): r04 green rows banked, unchanged round 5 -
+        "text_langid": _text_langid,
         "text_keyword_topk": _text_keyword_topk,
         "a7_distinct_parts": _a7_distinct_parts,
         "a8_collect_sorted_list": _a8_collect_sorted_list,
@@ -1401,6 +1410,35 @@ def _cluster_histogram_sql() -> str:
         SELECT n_members, n_clusters,
                CAST(n_members * n_clusters AS BIGINT) AS n_docs
         FROM uni
+    """
+
+
+def _lm_score_core_sql() -> str:
+    """Shared CTE chain for the bigram-LM oracles: p(w2|w1) in millis with
+    counts over the corpus's own bigrams (count >= 1, no smoothing), doc
+    score = mean conditional probability. Integer-exact twin of
+    textquality.lm_bigram_score; ends at the ``scored`` CTE."""
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        bg AS (
+            SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+            FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 2
+        ),
+        cbg AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+        cw1 AS (SELECT w1, sum(c_bg) AS c_w1 FROM cbg GROUP BY 1),
+        lm AS (
+            SELECT w1, w2, CAST((1000 * c_bg) // c_w1 AS BIGINT) AS m
+            FROM cbg JOIN cw1 USING (w1)
+        ),
+        scored AS (
+            SELECT doc_id,
+                   count(*) AS n_bigrams,
+                   CAST(sum(m) AS BIGINT) AS sum_millis,
+                   CAST(sum(m) // count(*) AS BIGINT) AS lm_millis
+            FROM bg JOIN lm USING (w1, w2)
+            GROUP BY doc_id
+        )
     """
 
 
@@ -2312,25 +2350,42 @@ def oracle_sql() -> dict[str, str]:
         # over the corpus's own bigrams (count >= 1, no smoothing); doc score
         # = mean conditional probability of its bigrams. Integer-exact twin
         # of textquality.lm_bigram_score.
-        "text_lm_score": f"""
-            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-            bg AS (
-                SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
-                FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
-                WHERE len(t) >= 2
+        "text_lm_score": _lm_score_core_sql()
+        + """
+            SELECT doc_id, n_bigrams, sum_millis, lm_millis FROM scored
+        """,
+        # CCNet-style head/middle/tail: value cutoffs = the lm_millis of the
+        # ceil(n/3)- and ceil(2n/3)-ranked doc per language (ties share a
+        # bucket) — integer-exact twin of textquality.lm_perplexity_buckets.
+        "pipeline_lm_buckets": _lm_score_core_sql()
+        + """
+            , j AS (SELECT s.*, d.lang FROM scored s JOIN documents d USING (doc_id)),
+            dist AS (SELECT lang, lm_millis, count(*) AS c FROM j GROUP BY 1, 2),
+            cum AS (
+                SELECT lang, lm_millis, c,
+                       sum(c) OVER (PARTITION BY lang ORDER BY lm_millis DESC) AS cum
+                FROM dist
             ),
-            cbg AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2),
-            cw1 AS (SELECT w1, sum(c_bg) AS c_w1 FROM cbg GROUP BY 1),
-            lm AS (
-                SELECT w1, w2, CAST((1000 * c_bg) // c_w1 AS BIGINT) AS m
-                FROM cbg JOIN cw1 USING (w1)
+            n AS (SELECT lang, sum(c) AS n FROM dist GROUP BY 1),
+            cuts AS (
+                SELECT lang,
+                       max(CASE WHEN cum >= (n + 2) // 3 THEN lm_millis END) AS head_cut,
+                       max(CASE WHEN cum >= (2 * n + 2) // 3 THEN lm_millis END) AS mid_cut
+                FROM cum JOIN n USING (lang) GROUP BY lang
+            ),
+            b AS (
+                SELECT j.lang,
+                       CASE WHEN lm_millis >= head_cut THEN 'head'
+                            WHEN lm_millis >= mid_cut THEN 'middle'
+                            ELSE 'tail' END AS bucket,
+                       n_bigrams, lm_millis
+                FROM j JOIN cuts USING (lang)
             )
-            SELECT doc_id,
-                   count(*) AS n_bigrams,
-                   CAST(sum(m) AS BIGINT) AS sum_millis,
-                   CAST(sum(m) // count(*) AS BIGINT) AS lm_millis
-            FROM bg JOIN lm USING (w1, w2)
-            GROUP BY doc_id
+            SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_bigrams) AS BIGINT) AS tot_bigrams,
+                   CAST(min(lm_millis) AS BIGINT) AS min_lm_millis,
+                   CAST(max(lm_millis) AS BIGINT) AS max_lm_millis
+            FROM b GROUP BY 1, 2
         """,
         "pipeline_domain_stats": f"""
             WITH c AS (

@@ -343,6 +343,68 @@ def lm_bigram_score(
     )
 
 
+def lm_perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split by LM fluency, per language
+    — the bucketing CCNet applies before choosing which perplexity band to
+    train on. Docs are bucketed by VALUE cutoffs (the lm_millis of the
+    ceil(n/3)- and ceil(2n/3)-ranked doc per language, ties share a bucket),
+    not by row-number terciles, so the assignment is order-free and
+    cross-engine exact.
+
+    Scale shape: ``lm_millis`` is bounded in [0, 1000], so the per-(lang,
+    value) distribution frame has <= 1001 rows per language — the cumulative
+    window and the cutoff rollup run on that tiny frame, and the cutoffs
+    broadcast back to the corpus. No corpus-scale sort anywhere (a
+    row-number ntile would globally sort every language partition — the
+    exact shuffle this formulation avoids at 10^10 docs). Docs with < 2
+    tokens have no bigrams and are out of scope, as in lm_bigram_score.
+
+    Output: one row per (lang, bucket): n_docs, tot_bigrams,
+    min/max lm_millis."""
+    from pyspark.sql.window import Window
+
+    scored = lm_bigram_score(docs, id_col=id_col, text_col=text_col).join(
+        docs.select(id_col, lang_col), id_col
+    )
+    dist = scored.groupBy(lang_col, "lm_millis").agg(F.count("*").alias("c"))
+    cum_w = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.col("lm_millis").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dist.withColumn("cum", F.sum("c").over(cum_w))
+    totals = dist.groupBy(lang_col).agg(F.sum("c").alias("n"))
+    cuts = (
+        cum.join(totals, lang_col)
+        .groupBy(lang_col)
+        .agg(
+            F.max(
+                F.when(F.col("cum") >= F.expr("div(n + 2, 3)"), F.col("lm_millis"))
+            ).alias("head_cut"),
+            F.max(
+                F.when(F.col("cum") >= F.expr("div(2 * n + 2, 3)"), F.col("lm_millis"))
+            ).alias("mid_cut"),
+        )
+    )
+    bucketed = scored.join(F.broadcast(cuts), lang_col).withColumn(
+        "bucket",
+        F.when(F.col("lm_millis") >= F.col("head_cut"), F.lit("head"))
+        .when(F.col("lm_millis") >= F.col("mid_cut"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return bucketed.groupBy(lang_col, "bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("tot_bigrams"),
+        F.min("lm_millis").cast("long").alias("min_lm_millis"),
+        F.max("lm_millis").cast("long").alias("max_lm_millis"),
+    )
+
+
 def corpus_domain_stats(
     docs: DataFrame,
     group_cols: tuple[str, ...] = ("source", "lang"),

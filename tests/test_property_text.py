@@ -149,6 +149,45 @@ def test_lm_bigram_score_partition_invariant(spark):
     assert a == b and len(a) == 40
 
 
+def test_lm_buckets_value_cutoffs_match_python_reference(spark):
+    """Bucket assignment == pure-Python value-cutoff terciles (cutoff = the
+    lm_millis of the ceil(n/3)/ceil(2n/3)-ranked doc per language, ties
+    share a bucket), buckets partition the scored docs, and the result is
+    partition-invariant."""
+    docs = [
+        (i, f"the quick fox {i % 5} jumps over the lazy dog {i % 7} again",
+         ["en", "de"][i % 2])
+        for i in range(60)
+    ] + [(100, "solo", "fr")]  # 1 token -> no bigrams -> out of scope
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+
+    scores = _py_lm_scores([(d, t) for d, t, _ in docs])
+    lang_of = {d: lg for d, _, lg in docs}
+    by_lang: dict[str, list[int]] = {}
+    for d, (_, _, lm) in scores.items():
+        by_lang.setdefault(lang_of[d], []).append(lm)
+    want: dict[tuple[str, str], list[int]] = {}
+    for lg, vals in by_lang.items():
+        ordered = sorted(vals, reverse=True)
+        n = len(ordered)
+        head_cut = ordered[(n + 2) // 3 - 1]
+        mid_cut = ordered[(2 * n + 2) // 3 - 1]
+        for v in vals:
+            b = "head" if v >= head_cut else ("middle" if v >= mid_cut else "tail")
+            want.setdefault((lg, b), []).append(v)
+
+    for probe in (df, df.repartition(7)):
+        got = {
+            (r["lang"], r["bucket"]): (r["n_docs"], r["min_lm_millis"], r["max_lm_millis"])
+            for r in textquality.lm_perplexity_buckets(probe).collect()
+        }
+        assert got == {
+            k: (len(v), min(v), max(v)) for k, v in want.items()
+        }
+        assert sum(n for n, _, _ in got.values()) == len(scores)
+        assert not any(lg == "fr" for lg, _ in got)  # no-bigram doc dropped
+
+
 def test_corpus_domain_stats_matches_python_reference(spark):
     import hashlib
     import re

@@ -698,6 +698,31 @@ def _pipeline_lm_buckets(spark, sf):
     return textquality.lm_perplexity_buckets(_t(spark, sf, "documents"))
 
 
+def _pii_injected(spark, sf) -> DataFrame:
+    """Documents with deterministic synthetic PII appended (email + IPv4 +
+    phone derived from doc_id), so the scrub pass has real matches to count
+    and redact at every sf. Both engines build the identical string."""
+    d = _t(spark, sf, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact agent-"),
+        F.col("doc_id").cast("string"),
+        F.lit("@crawl-test.org from host "),
+        (F.col("doc_id") % 223 + 1).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 251).cast("string"),
+        F.lit(".7 call +1 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    return d.select("doc_id", injected.alias("text"))
+
+
+def _text_pii_scrub(spark, sf):
+    """PII redaction pass (emails -> IPv4 -> phones, in that order) with
+    per-doc match counts and the md5 of the redacted text."""
+    return textquality.pii_scrub(_pii_injected(spark, sf))
+
+
 SAMPLE_RATES = {"en": 700, "de": 400, "fr": 250, "es": 250, "zh": 100}
 SAMPLE_DEFAULT = 50
 SAMPLE_SALT = "mix1"
@@ -1089,22 +1114,24 @@ def _multimodal_neardup_frames(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's CORRECTNESS order, and the driver caps
     the record at 50 rows per round — so ordering is a rotation policy, not
-    cosmetic (see REGISTRY.md). Round 5 (71 entries): the nine NEW queries
+    cosmetic (see REGISTRY.md). Round 5 (72 entries): the ten NEW queries
     lead (bigram-LM fluency score, domain diagnostics rollup, near-dup
-    cluster-size histogram, CCNet-style LM perplexity buckets, three
-    persisted-index ANN paths, the SemDeDup training mix, the multimodal
-    near-dup-frames pipeline — never driver-checked), ann_pq_topk stays
-    in-window because its oracle gained the dirty-row predicate this round
-    (rule 3), the 12 queries whose r03 green rows go stale after this round
-    rotate back in (rule 2), and 21 r04-green unchanged veterans rotate to
-    tail positions 51-71 (text_langid/text_keyword_topk/a7/a8 displaced
-    this round to make window room)."""
+    cluster-size histogram, CCNet-style LM perplexity buckets, PII scrub,
+    three persisted-index ANN paths, the SemDeDup training mix, the
+    multimodal near-dup-frames pipeline — never driver-checked),
+    ann_pq_topk stays in-window because its oracle gained the dirty-row
+    predicate this round (rule 3), the 12 queries whose r03 green rows go
+    stale after this round rotate back in (rule 2), and 22 r04-green
+    unchanged veterans rotate to tail positions 51-72
+    (text_quality/text_langid/text_keyword_topk/a7/a8 displaced this round
+    to make window room)."""
     return {
         # -- new round 5 (corpus-quality LM score + diagnostics rollups) ----
         "text_lm_score": _text_lm_score,
         "pipeline_domain_stats": _pipeline_domain_stats,
         "dedup_cluster_histogram": _dedup_cluster_histogram,
         "pipeline_lm_buckets": _pipeline_lm_buckets,
+        "text_pii_scrub": _text_pii_scrub,
         # -- new round 5 (persisted-index ANN production paths) -------------
         "ann_ivf_indexed": _ann_ivf_indexed,
         "ann_lsh_indexed": _ann_lsh_indexed,
@@ -1154,8 +1181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_training_mix": _pipeline_training_mix,
         "dedup_incremental": _dedup_incremental,
         "dedup_embedding_pairs": _dedup_embedding_pairs,
-        "text_quality": _text_quality,
         # -- tail (positions 51+): r04 green rows banked, unchanged round 5 -
+        "text_quality": _text_quality,
         "text_langid": _text_langid,
         "text_keyword_topk": _text_keyword_topk,
         "a7_distinct_parts": _a7_distinct_parts,
@@ -2386,6 +2413,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(lm_millis) AS BIGINT) AS min_lm_millis,
                    CAST(max(lm_millis) AS BIGINT) AS max_lm_millis
             FROM b GROUP BY 1, 2
+        """,
+        # PII scrub: same inject -> email -> ip -> phone sequence as Spark;
+        # DuckDB regexp_replace needs the 'g' flag (Spark replaces all by
+        # default). Patterns live in textquality.PII_*_RE (Java/RE2-common
+        # subset).
+        "text_pii_scrub": f"""
+            WITH inj AS (
+                SELECT doc_id,
+                       text || ' contact agent-' || CAST(doc_id AS VARCHAR)
+                            || '@crawl-test.org from host '
+                            || CAST(doc_id % 223 + 1 AS VARCHAR) || '.0.'
+                            || CAST(doc_id % 251 AS VARCHAR)
+                            || '.7 call +1 555-01'
+                            || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+                FROM documents
+            ),
+            s1 AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '{textquality.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+                       regexp_replace(text, '{textquality.PII_EMAIL_RE}', '<EMAIL>', 'g') AS t
+                FROM inj
+            ),
+            s2 AS (
+                SELECT doc_id, n_emails,
+                       CAST(len(regexp_extract_all(t, '{textquality.PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+                       regexp_replace(t, '{textquality.PII_IPV4_RE}', '<IP>', 'g') AS t
+                FROM s1
+            ),
+            s3 AS (
+                SELECT doc_id, n_emails, n_ips,
+                       CAST(len(regexp_extract_all(t, '{textquality.PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+                       regexp_replace(t, '{textquality.PII_PHONE_RE}', '<PHONE>', 'g') AS t
+                FROM s2
+            )
+            SELECT doc_id, n_emails, n_ips, n_phones, md5(t) AS scrubbed_md5,
+                   CAST(length(t) AS BIGINT) AS scrubbed_len
+            FROM s3
         """,
         "pipeline_domain_stats": f"""
             WITH c AS (

@@ -405,6 +405,45 @@ def lm_perplexity_buckets(
     )
 
 
+# PII patterns restricted to the regex subset Java (Spark) and RE2 (DuckDB)
+# interpret identically: character classes, bounded/unbounded repeats, \b —
+# no lookaround, no backreferences. Scrub ORDER matters (emails first so the
+# ip/phone patterns never see address-local digits); both engines apply the
+# same sequence.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+[0-9][0-9 -]{7,14}[0-9]"
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction for a training corpus — the scrubbing pass (emails,
+    IPv4 addresses, international-format phone numbers) every public-web
+    corpus build runs before training, with per-doc match counts and the
+    md5 of the redacted text as the verifiable contract.
+
+    All three patterns count via ``regexp_extract_all`` and redact via
+    ``regexp_replace`` — JVM whole-stage codegen, zero shuffles, one
+    projection over the corpus scan; at 100 TB this is a pure map stage
+    that pipelines with whatever runs next."""
+    col = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_RE), F.lit(0)))
+    t1 = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(t1, F.lit(PII_IPV4_RE), F.lit(0)))
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE_RE), F.lit(0)))
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+        F.md5(t3).alias("scrubbed_md5"),
+        F.length(t3).cast("long").alias("scrubbed_len"),
+    )
+
+
 def corpus_domain_stats(
     docs: DataFrame,
     group_cols: tuple[str, ...] = ("source", "lang"),

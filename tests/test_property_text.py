@@ -188,6 +188,39 @@ def test_lm_buckets_value_cutoffs_match_python_reference(spark):
         assert not any(lg == "fr" for lg, _ in got)  # no-bigram doc dropped
 
 
+def test_pii_scrub_counts_and_redacts(spark):
+    """Crafted cases: multiple matches per doc, the email->ip->phone order
+    (an address's digits are gone before the ip/phone passes), near-misses
+    (3-octet dotted number, short digit runs) left untouched, and the
+    scrubbed md5 == md5 of the expected redacted text."""
+    import hashlib
+
+    rows = [
+        (1, "write a@b.io or c.d+e@f-g.co today"),          # 2 emails
+        (2, "server 10.0.0.1 and 192.168.255.254 down"),    # 2 ips
+        (3, "call +1 555-0138 or +44 20 7946 0958 now"),    # 2 phones
+        (4, "version 1.2.3 build 7 plus 12345 units"),      # near-misses only
+        (5, "x9@10.0.0.5.net then 10.0.0.5 rang +1 555-0100"),  # order matters
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textquality.pii_scrub(df).collect()}
+
+    want_text = {
+        1: "write <EMAIL> or <EMAIL> today",
+        2: "server <IP> and <IP> down",
+        3: "call <PHONE> or <PHONE> now",
+        4: "version 1.2.3 build 7 plus 12345 units",
+        # the email pattern eats 'x9@10.0.0.5.net' whole, so only the bare
+        # ip remains for the ip pass and the phone pass sees no address
+        5: "<EMAIL> then <IP> rang <PHONE>",
+    }
+    want_counts = {1: (2, 0, 0), 2: (0, 2, 0), 3: (0, 0, 2), 4: (0, 0, 0), 5: (1, 1, 1)}
+    for d, (ne, ni, np_) in want_counts.items():
+        assert (got[d]["n_emails"], got[d]["n_ips"], got[d]["n_phones"]) == (ne, ni, np_), d
+        assert got[d]["scrubbed_md5"] == hashlib.md5(want_text[d].encode()).hexdigest(), d
+        assert got[d]["scrubbed_len"] == len(want_text[d]), d
+
+
 def test_corpus_domain_stats_matches_python_reference(spark):
     import hashlib
     import re

@@ -87,6 +87,12 @@ CLAIMS = {
         (r"PartitionFilters: \[[^\]]*bucket", "frame-index scan pruned to probed buckets"),
         (r"TakeOrderedAndProject", "indexed top-k without global sort"),
     ],
+    "pipeline_lm_buckets": [
+        # the tercile cutoffs come back to the corpus as a broadcast, and the
+        # only Window in the plan runs on the bounded (lang, lm_millis)
+        # distribution frame — never a corpus-scale ntile sort
+        (r"BroadcastHashJoin", "per-lang cutoffs broadcast back to the corpus"),
+    ],
 }
 
 
@@ -172,7 +178,8 @@ def main() -> int:
                  "j4_prefix_theta_antijoin", "dedup_minhash_lsh",
                  "dedup_minhash_verified", "dedup_embedding_lsh", "ann_lsh_topk",
                  "dedup_minhash_cluster", "dedup_incremental", "ann_pq_topk",
-                 "pipeline_training_mix_semantic", "multimodal_neardup_frames"]:
+                 "pipeline_training_mix_semantic", "multimodal_neardup_frames",
+                 "pipeline_lm_buckets", "dedup_cluster_histogram"]:
         plan = formatted(qs[name](spark, SF_DIR))
         if "CartesianProduct" in plan:
             failures.append((name, "unexpected cartesian product"))

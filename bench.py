@@ -55,6 +55,8 @@ HEADLINE_QUERIES = [
     "text_keyword_topk",
     "text_lm_score",
     "pipeline_domain_stats",
+    "pipeline_lm_buckets",
+    "text_pii_scrub",
     "pipeline_sample_mix",
     "pipeline_training_mix",
     "pipeline_training_mix_semantic",

@@ -134,15 +134,17 @@ def connected_components_star(
     (count + xxhash64 sum — collision odds are ~n/2^64, and a false stop
     would still require the NEXT round to be a no-op on a star forest).
     """
+    # materialize the (possibly expensive) edge lineage ONCE — nodes and E
+    # both derive from this frame, so e.g. an LSH-verified-pairs input is
+    # computed a single time, not once per consumer
+    edges0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        edges0.select(F.col("a").alias("node"))
+        .union(edges0.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     E = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
+        edges0.filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint()
     )

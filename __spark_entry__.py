@@ -723,6 +723,18 @@ def _text_pii_scrub(spark, sf):
     return textquality.pii_scrub(_pii_injected(spark, sf))
 
 
+def _text_vocab_topk(spark, sf):
+    """Global vocabulary top-100: per token, total occurrences + distinct
+    docs, deterministic (count DESC, token ASC) cut."""
+    return textquality.vocab_topk(_t(spark, sf, "documents"), k=100)
+
+
+def _text_dup_ngrams(spark, sf):
+    """Per-doc duplicated-5-gram coverage (RefinedWeb-style): of a doc's
+    distinct word 5-grams, the permille appearing in >= 1 other doc."""
+    return textquality.dup_ngram_coverage(_t(spark, sf, "documents"), n=5)
+
+
 SAMPLE_RATES = {"en": 700, "de": 400, "fr": 250, "es": 250, "zh": 100}
 SAMPLE_DEFAULT = 50
 SAMPLE_SALT = "mix1"
@@ -1114,17 +1126,18 @@ def _multimodal_neardup_frames(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's CORRECTNESS order, and the driver caps
     the record at 50 rows per round — so ordering is a rotation policy, not
-    cosmetic (see REGISTRY.md). Round 5 (72 entries): the ten NEW queries
-    lead (bigram-LM fluency score, domain diagnostics rollup, near-dup
-    cluster-size histogram, CCNet-style LM perplexity buckets, PII scrub,
-    three persisted-index ANN paths, the SemDeDup training mix, the
-    multimodal near-dup-frames pipeline — never driver-checked),
-    ann_pq_topk stays in-window because its oracle gained the dirty-row
-    predicate this round (rule 3), the 12 queries whose r03 green rows go
-    stale after this round rotate back in (rule 2), and 22 r04-green
-    unchanged veterans rotate to tail positions 51-72
-    (text_quality/text_langid/text_keyword_topk/a7/a8 displaced this round
-    to make window room)."""
+    cosmetic (see REGISTRY.md). Round 5 (74 entries): the twelve NEW
+    queries lead (bigram-LM fluency score, domain diagnostics rollup,
+    near-dup cluster-size histogram, CCNet-style LM perplexity buckets,
+    PII scrub, vocabulary top-k, duplicated-n-gram coverage, three
+    persisted-index ANN paths, the SemDeDup training mix, the multimodal
+    near-dup-frames pipeline — never driver-checked), ann_pq_topk stays
+    in-window because its oracle gained the dirty-row predicate this round
+    (rule 3), the 12 queries whose r03 green rows go stale after this
+    round rotate back in (rule 2), and 24 r04-green unchanged veterans
+    rotate to tail positions 51-74 (dedup_incremental,
+    dedup_embedding_pairs, text_quality, text_langid, text_keyword_topk,
+    a7, a8 displaced this round to make window room)."""
     return {
         # -- new round 5 (corpus-quality LM score + diagnostics rollups) ----
         "text_lm_score": _text_lm_score,
@@ -1132,6 +1145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_histogram": _dedup_cluster_histogram,
         "pipeline_lm_buckets": _pipeline_lm_buckets,
         "text_pii_scrub": _text_pii_scrub,
+        "text_vocab_topk": _text_vocab_topk,
+        "text_dup_ngram_coverage": _text_dup_ngrams,
         # -- new round 5 (persisted-index ANN production paths) -------------
         "ann_ivf_indexed": _ann_ivf_indexed,
         "ann_lsh_indexed": _ann_lsh_indexed,
@@ -1179,9 +1194,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "pipeline_training_mix": _pipeline_training_mix,
+        # -- tail (positions 51+): r04 green rows banked, unchanged round 5 -
         "dedup_incremental": _dedup_incremental,
         "dedup_embedding_pairs": _dedup_embedding_pairs,
-        # -- tail (positions 51+): r04 green rows banked, unchanged round 5 -
         "text_quality": _text_quality,
         "text_langid": _text_langid,
         "text_keyword_topk": _text_keyword_topk,
@@ -2413,6 +2428,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(lm_millis) AS BIGINT) AS min_lm_millis,
                    CAST(max(lm_millis) AS BIGINT) AS max_lm_millis
             FROM b GROUP BY 1, 2
+        """,
+        "text_vocab_topk": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+            occ AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+                FROM tok GROUP BY 1
+            ),
+            pd AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS n_docs
+                FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1
+            )
+            SELECT token, n_occurrences, n_docs
+            FROM occ JOIN pd USING (token)
+            ORDER BY n_occurrences DESC, token ASC
+            LIMIT 100
+        """,
+        "text_dup_ngram_coverage": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS t FROM documents WHERE len({_TOKS}) >= 5
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS ngram
+                FROM t, unnest(range(1, len(t) - 3)) AS u(i)
+            ),
+            dfc AS (SELECT ngram, CAST(count(*) AS BIGINT) AS df FROM grams GROUP BY 1)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_ngrams,
+                   CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ngrams,
+                   CAST((1000 * sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS dup_permille
+            FROM grams JOIN dfc USING (ngram)
+            GROUP BY doc_id
         """,
         # PII scrub: same inject -> email -> ip -> phone sequence as Spark;
         # DuckDB regexp_replace needs the 'g' flag (Spark replaces all by

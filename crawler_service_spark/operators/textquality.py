@@ -405,6 +405,85 @@ def lm_perplexity_buckets(
     )
 
 
+def vocab_topk(
+    docs: DataFrame,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Global vocabulary top-k — the term-frequency table a tokenizer build
+    or corpus audit starts from: per token, total occurrences and the number
+    of distinct docs containing it, top-k by (occurrences DESC, token ASC —
+    a total order, so the cut is deterministic).
+
+    Scale shape: the occurrence count is a map-side-combinable groupBy on
+    the token; the distinct-doc count aggregates the DISTINCT (token, doc)
+    frame the same way — both shuffle vocab-sized frames, never the corpus;
+    the final top-k is TakeOrderedAndProject (no global sort). Stopword-hot
+    tokens are single reduce keys with pre-combined partials, not skew."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    occ = tok.groupBy("token").agg(F.count("*").cast("long").alias("n_occurrences"))
+    per_doc = (
+        tok.distinct()
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    return (
+        occ.join(per_doc, "token")
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def dup_ngram_coverage(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc duplicated-n-gram coverage — the RefinedWeb-style diagnostic
+    for how much of each document is word-for-word shared with the rest of
+    the corpus (the signal behind ExactSubstr-class dedup decisions):
+    of a doc's DISTINCT word n-grams, how many appear in at least one other
+    doc, as a permille. Docs with < n tokens have no n-grams and drop out.
+
+    Scale shape: DISTINCT (doc, ngram) -> per-ngram doc-frequency is one
+    shuffle on the n-gram (map-side combinable), the coverage rollup is one
+    shuffle back on the doc id; boilerplate mega-n-grams are single reduce
+    keys with pre-combined partials. No pairwise joins anywhere — this is
+    the linear-cost census, not the quadratic pair enumeration."""
+    toks = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= n)
+    m = F.size("t") - (n - 1)
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.array_join(F.slice("t", i, n), " "),
+            )
+        ).alias("ngram"),
+    ).distinct()
+    df_counts = grams.groupBy("ngram").agg(F.count("*").cast("long").alias("df"))
+    return (
+        grams.join(df_counts, "ngram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_ngrams"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).cast("long").alias("n_dup_ngrams"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_dup_ngrams",
+            F.expr("div(1000 * n_dup_ngrams, n_ngrams)").alias("dup_permille"),
+        )
+    )
+
+
 # PII patterns restricted to the regex subset Java (Spark) and RE2 (DuckDB)
 # interpret identically: character classes, bounded/unbounded repeats, \b —
 # no lookaround, no backreferences. Scrub ORDER matters (emails first so the

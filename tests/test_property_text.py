@@ -188,6 +188,46 @@ def test_lm_buckets_value_cutoffs_match_python_reference(spark):
         assert not any(lg == "fr" for lg, _ in got)  # no-bigram doc dropped
 
 
+def test_vocab_topk_counts_and_deterministic_cut(spark):
+    """Occurrence totals, distinct-doc counts, and the (count DESC, token
+    ASC) tie-break at the k-cut all match a Python reference."""
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry date"),
+        (3, "apple elderberry elderberry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["token"], r["n_occurrences"], r["n_docs"])
+        for r in textquality.vocab_topk(df, k=4).collect()
+    ]
+    # occurrences: apple 3, banana 2, cherry 2, elderberry 2, date 1
+    # ties at 2 break token-ASC: banana, cherry, elderberry -> k=4 cuts date
+    assert got == [
+        ("apple", 3, 2),
+        ("banana", 2, 2),
+        ("cherry", 2, 2),
+        ("elderberry", 2, 1),
+    ]
+
+
+def test_dup_ngram_coverage_counts_shared_spans(spark):
+    """Distinct-n-gram coverage: the shared 3-gram counts once per doc,
+    within-doc repeats collapse, short docs drop out."""
+    rows = [
+        (1, "a b c d e"),        # 3-grams: 'a b c', 'b c d', 'c d e'
+        (2, "a b c x y"),        # shares 'a b c' with doc 1
+        (3, "z z z z"),          # 'z z z' twice -> 1 distinct, unshared
+        (4, "p q"),              # < 3 tokens -> out of scope
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_dup_ngrams"], r["dup_permille"])
+        for r in textquality.dup_ngram_coverage(df, n=3).collect()
+    }
+    assert got == {1: (3, 1, 333), 2: (3, 1, 333), 3: (1, 0, 0)}
+
+
 def test_pii_scrub_counts_and_redacts(spark):
     """Crafted cases: multiple matches per doc, the email->ip->phone order
     (an address's digits are gone before the ip/phone passes), near-misses

@@ -57,6 +57,8 @@ HEADLINE_QUERIES = [
     "pipeline_domain_stats",
     "pipeline_lm_buckets",
     "text_pii_scrub",
+    "text_vocab_topk",
+    "text_dup_ngram_coverage",
     "pipeline_sample_mix",
     "pipeline_training_mix",
     "pipeline_training_mix_semantic",

@@ -87,6 +87,9 @@ CLAIMS = {
         (r"PartitionFilters: \[[^\]]*bucket", "frame-index scan pruned to probed buckets"),
         (r"TakeOrderedAndProject", "indexed top-k without global sort"),
     ],
+    "text_vocab_topk": [
+        (r"TakeOrderedAndProject", "vocab top-k without global sort"),
+    ],
     "pipeline_lm_buckets": [
         # the tercile cutoffs come back to the corpus as a broadcast, and the
         # only Window in the plan runs on the bounded (lang, lm_millis)

@@ -494,6 +494,19 @@ PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 PII_PHONE_RE = r"\+[0-9][0-9 -]{7,14}[0-9]"
 
 
+def pii_redact_cols(col: Column) -> tuple[Column, Column, Column, Column]:
+    """(n_emails, n_ips, n_phones, redacted_text) column bundle for a text
+    column — the per-row core of ``pii_scrub``, exposed so streaming ingest
+    can apply the identical redaction sequence to a stream."""
+    n_emails = F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_RE), F.lit(0)))
+    t1 = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(t1, F.lit(PII_IPV4_RE), F.lit(0)))
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE_RE), F.lit(0)))
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return n_emails, n_ips, n_phones, t3
+
+
 def pii_scrub(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -506,13 +519,7 @@ def pii_scrub(
     ``regexp_replace`` — JVM whole-stage codegen, zero shuffles, one
     projection over the corpus scan; at 100 TB this is a pure map stage
     that pipelines with whatever runs next."""
-    col = F.col(text_col)
-    n_emails = F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_RE), F.lit(0)))
-    t1 = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
-    n_ips = F.size(F.regexp_extract_all(t1, F.lit(PII_IPV4_RE), F.lit(0)))
-    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
-    n_phones = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE_RE), F.lit(0)))
-    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    n_emails, n_ips, n_phones, t3 = pii_redact_cols(F.col(text_col))
     return docs.select(
         F.col(id_col),
         n_emails.cast("long").alias("n_emails"),

@@ -188,6 +188,42 @@ def test_lm_buckets_value_cutoffs_match_python_reference(spark):
         assert not any(lg == "fr" for lg, _ in got)  # no-bigram doc dropped
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=0, max_size=10),
+        min_size=2, max_size=8,
+    )
+)
+def test_dup_ngram_coverage_matches_python_reference(spark, doc_words):
+    """Random small corpora: distinct-3-gram doc frequency and per-doc dup
+    coverage == a pure-Python census."""
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(doc_words)]
+    per_doc = {}
+    for d, t in docs:
+        ws = [w for w in t.split() if w]
+        if len(ws) >= 3:
+            per_doc[d] = {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+    df_count: dict[str, int] = {}
+    for grams in per_doc.values():
+        for g in grams:
+            df_count[g] = df_count.get(g, 0) + 1
+    want = {
+        d: (
+            len(grams),
+            sum(1 for g in grams if df_count[g] > 1),
+            (1000 * sum(1 for g in grams if df_count[g] > 1)) // len(grams),
+        )
+        for d, grams in per_doc.items()
+    }
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_dup_ngrams"], r["dup_permille"])
+        for r in textquality.dup_ngram_coverage(sdf, n=3).collect()
+    }
+    assert got == want
+
+
 def test_vocab_topk_counts_and_deterministic_cut(spark):
     """Occurrence totals, distinct-doc counts, and the (count DESC, token
     ASC) tie-break at the k-cut all match a Python reference."""

@@ -188,6 +188,61 @@ def test_streaming_dedup_first_occurrence_across_runs(spark, tmp_path):
     assert len(rows) == 3  # exactly-once: no duplicate emissions
 
 
+def test_streaming_corpus_ingest_gate_scrub_dedup(spark, tmp_path):
+    """Quality gate -> PII scrub -> cross-batch dedup as one stream: short
+    docs never reach the sink, emitted text is redacted with counts, dedup
+    keys on the REDACTED text (PII-only variants collapse), and a suppressed
+    hash stays suppressed across a restart."""
+    import hashlib
+
+    from crawler_service_spark.streaming import corpus_ingest_stream, read_corpus
+
+    in_dir = str(tmp_path / "cdocs")
+    sink = str(tmp_path / "csink")
+    ckpt = str(tmp_path / "cckpt")
+    os.makedirs(in_dir)
+
+    def drop(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    base = (
+        "the quick brown fox and the lazy dog of the farm ran to a barn "
+        "near the river and the miller took a sack of grain to the market "
+        "while the sun rose over the quiet hills and a cold wind moved "
+        "through the tall dry grass beside the old stone wall of the keep"
+    )  # 56 words, passes every gopher gate
+    doc_a = base + " mail bob@example.com"
+    doc_a_variant = base + " mail sue@other.net"   # same text after redaction
+    scrubbed_a = base + " mail <EMAIL>"
+
+    # batch 1: quality doc with PII (doc 5), its PII-variant twin (doc 9,
+    # must collapse onto the same redacted hash; 5 wins as min id), a
+    # too-short doc (gate drops it before dedup)
+    drop([(5, doc_a), (9, doc_a_variant), (7, "too short to pass")])
+    corpus_ingest_stream(spark, in_dir, sink, ckpt)
+    rows = {r["doc_id"]: r for r in read_corpus(spark, sink).collect()}
+    assert set(rows) == {5}
+    assert rows[5]["text"] == scrubbed_a
+    assert rows[5]["n_emails"] == 1 and rows[5]["n_ips"] == 0
+    assert rows[5]["text_hash"] == hashlib.md5(scrubbed_a.encode()).hexdigest()
+
+    # batch 2 (separate run = restart): the scrubbed-identical doc again
+    # (suppressed by state store), plus a new quality doc with an ip+phone
+    doc_b = base + " host 10.0.0.9 call +1 555-0101"
+    drop([(11, doc_a), (4, doc_b)])
+    corpus_ingest_stream(spark, in_dir, sink, ckpt)
+    rows = {r["doc_id"]: r for r in read_corpus(spark, sink).collect()}
+    assert set(rows) == {5, 4}
+    assert rows[4]["text"] == base + " host <IP> call <PHONE>"
+    assert (rows[4]["n_ips"], rows[4]["n_phones"]) == (1, 1)
+
+    # idempotent re-run: nothing new to process, nothing re-emitted
+    corpus_ingest_stream(spark, in_dir, sink, ckpt)
+    assert read_corpus(spark, sink).count() == 2
+
+
 def test_streaming_sessionization_gap_merge_and_close(spark, tmp_path):
     """Native session_window: events within the gap merge into one session,
     a gap splits, and a session only emits once the watermark passes its

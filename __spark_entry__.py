@@ -735,6 +735,17 @@ def _text_dup_ngrams(spark, sf):
     return textquality.dup_ngram_coverage(_t(spark, sf, "documents"), n=5)
 
 
+def _embedding_label_centroids(spark, sf):
+    """Per-label integer-exact embedding centroid in long format — the
+    domain/cluster profile table a mix balancer or drift monitor reads."""
+    e = _t(spark, sf, "embeddings")
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * 1000, 0).cast("long"),
+    )
+    return similarity.label_centroids(e.select("label", q.alias("qv")))
+
+
 SAMPLE_RATES = {"en": 700, "de": 400, "fr": 250, "es": 250, "zh": 100}
 SAMPLE_DEFAULT = 50
 SAMPLE_SALT = "mix1"
@@ -1126,18 +1137,19 @@ def _multimodal_neardup_frames(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's CORRECTNESS order, and the driver caps
     the record at 50 rows per round — so ordering is a rotation policy, not
-    cosmetic (see REGISTRY.md). Round 5 (74 entries): the twelve NEW
+    cosmetic (see REGISTRY.md). Round 5 (75 entries): the thirteen NEW
     queries lead (bigram-LM fluency score, domain diagnostics rollup,
     near-dup cluster-size histogram, CCNet-style LM perplexity buckets,
-    PII scrub, vocabulary top-k, duplicated-n-gram coverage, three
-    persisted-index ANN paths, the SemDeDup training mix, the multimodal
-    near-dup-frames pipeline — never driver-checked), ann_pq_topk stays
-    in-window because its oracle gained the dirty-row predicate this round
-    (rule 3), the 12 queries whose r03 green rows go stale after this
-    round rotate back in (rule 2), and 24 r04-green unchanged veterans
-    rotate to tail positions 51-74 (dedup_incremental,
-    dedup_embedding_pairs, text_quality, text_langid, text_keyword_topk,
-    a7, a8 displaced this round to make window room)."""
+    PII scrub, vocabulary top-k, duplicated-n-gram coverage, per-label
+    embedding centroids, three persisted-index ANN paths, the SemDeDup
+    training mix, the multimodal near-dup-frames pipeline — never
+    driver-checked), ann_pq_topk stays in-window because its oracle gained
+    the dirty-row predicate this round (rule 3), the 12 queries whose r03
+    green rows go stale after this round rotate back in (rule 2), and 25
+    r04-green unchanged veterans rotate to tail positions 51-75
+    (pipeline_training_mix, dedup_incremental, dedup_embedding_pairs,
+    text_quality, text_langid, text_keyword_topk, a7, a8 displaced this
+    round to make window room)."""
     return {
         # -- new round 5 (corpus-quality LM score + diagnostics rollups) ----
         "text_lm_score": _text_lm_score,
@@ -1147,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": _text_pii_scrub,
         "text_vocab_topk": _text_vocab_topk,
         "text_dup_ngram_coverage": _text_dup_ngrams,
+        "embedding_label_centroids": _embedding_label_centroids,
         # -- new round 5 (persisted-index ANN production paths) -------------
         "ann_ivf_indexed": _ann_ivf_indexed,
         "ann_lsh_indexed": _ann_lsh_indexed,
@@ -1193,8 +1206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
-        "pipeline_training_mix": _pipeline_training_mix,
         # -- tail (positions 51+): r04 green rows banked, unchanged round 5 -
+        "pipeline_training_mix": _pipeline_training_mix,
         "dedup_incremental": _dedup_incremental,
         "dedup_embedding_pairs": _dedup_embedding_pairs,
         "text_quality": _text_quality,
@@ -2428,6 +2441,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(lm_millis) AS BIGINT) AS min_lm_millis,
                    CAST(max(lm_millis) AS BIGINT) AS max_lm_millis
             FROM b GROUP BY 1, 2
+        """,
+        "embedding_label_centroids": f"""
+            WITH q AS (SELECT label, {_QUANT} AS qv FROM embeddings),
+            px AS (
+                SELECT label, CAST(i - 1 AS BIGINT) AS pos, qv[CAST(i AS INT)] AS q
+                FROM q, unnest(range(1, {EMB_DIM} + 1)) AS u(i)
+            )
+            SELECT label, pos,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(q) AS BIGINT) AS sum_q,
+                   CAST(sum(q) // count(*) AS BIGINT) AS mean_q
+            FROM px GROUP BY 1, 2
         """,
         "text_vocab_topk": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),

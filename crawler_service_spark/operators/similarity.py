@@ -242,6 +242,39 @@ def int_lsh_topk(
     )
 
 
+def label_centroids(
+    quantized: DataFrame,
+    label_col: str = "label",
+    qv_col: str = "qv",
+) -> DataFrame:
+    """Per-label integer-exact embedding centroid, in long format (label,
+    pos, n_vecs, sum_q, mean_q) — the domain/cluster profile table a corpus
+    mix balancer or drift monitor reads (compare tonight's per-source
+    centroid against last week's).
+
+    Scale shape: posexplode inflates the corpus ×dim, but partial (map-side)
+    aggregation collapses every partition to |labels|×dim rows before the
+    ONE shuffle on (label, pos) — the classic explode-then-combine plan
+    whose shuffle volume is bounded by the output size, not the corpus.
+    mean_q truncates toward zero in both engines (Spark ``div`` == DuckDB
+    ``//``, verified on negatives), so the contract is cross-engine exact
+    on signed embeddings."""
+    pos = quantized.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(qv_col)).alias("pos", "q"),
+    )
+    return pos.groupBy("label", "pos").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("q").cast("long").alias("sum_q"),
+    ).select(
+        "label",
+        F.col("pos").cast("long").alias("pos"),
+        "n_vecs",
+        "sum_q",
+        F.expr("div(sum_q, n_vecs)").alias("mean_q"),
+    )
+
+
 def ivf_seed_centroids(
     quantized: DataFrame,
     n_lists: int = 16,

@@ -307,6 +307,27 @@ def test_minhash_cluster_matches_union_find(spark):
         assert r["cluster_id"] == min(expected[r["cluster_id"]])
 
 
+def test_label_centroids_integer_exact_on_negatives(spark):
+    """Long-format per-label centroid: sums and truncate-toward-zero means
+    (negative sums must truncate toward zero, not floor)."""
+    rows = [
+        (1, [10, -7]),
+        (1, [20, -8]),   # label 1: sum (30, -15), mean (15, -7)  [-15 div 2 = -7]
+        (2, [-3, 5]),    # label 2: sums/means equal the vector itself
+    ]
+    df = spark.createDataFrame(rows, "label int, qv array<long>")
+    got = {
+        (r["label"], r["pos"]): (r["n_vecs"], r["sum_q"], r["mean_q"])
+        for r in similarity.label_centroids(df).collect()
+    }
+    assert got == {
+        (1, 0): (2, 30, 15),
+        (1, 1): (2, -15, -7),
+        (2, 0): (1, -3, -3),
+        (2, 1): (1, 5, 5),
+    }
+
+
 def test_cluster_histogram_partitions_the_corpus(spark):
     """The size distribution must (a) agree with the cluster rollup it is
     derived from, (b) include a size-1 row so sum(n_docs) == |corpus|, and

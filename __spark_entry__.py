@@ -735,6 +735,12 @@ def _text_dup_ngrams(spark, sf):
     return textquality.dup_ngram_coverage(_t(spark, sf, "documents"), n=5)
 
 
+def _text_winnow(spark, sf):
+    """Winnowing fingerprints (MOSS): k=4 word-gram h32 hashes, window-of-4
+    minima, distinct (doc_id, fingerprint) sketch rows."""
+    return textquality.winnow_fingerprints(_t(spark, sf, "documents"), k=4, w=4)
+
+
 def _embedding_label_centroids(spark, sf):
     """Per-label integer-exact embedding centroid in long format — the
     domain/cluster profile table a mix balancer or drift monitor reads."""
@@ -1137,17 +1143,19 @@ def _multimodal_neardup_frames(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's CORRECTNESS order, and the driver caps
     the record at 50 rows per round — so ordering is a rotation policy, not
-    cosmetic (see REGISTRY.md). Round 5 (75 entries): the thirteen NEW
+    cosmetic (see REGISTRY.md). Round 5 (76 entries): the fourteen NEW
     queries lead (bigram-LM fluency score, domain diagnostics rollup,
     near-dup cluster-size histogram, CCNet-style LM perplexity buckets,
     PII scrub, vocabulary top-k, duplicated-n-gram coverage, per-label
-    embedding centroids, three persisted-index ANN paths, the SemDeDup
+    embedding centroids, winnowing fingerprints, three persisted-index ANN
+    paths, the SemDeDup
     training mix, the multimodal near-dup-frames pipeline — never
     driver-checked), ann_pq_topk stays in-window because its oracle gained
     the dirty-row predicate this round (rule 3), the 12 queries whose r03
-    green rows go stale after this round rotate back in (rule 2), and 25
-    r04-green unchanged veterans rotate to tail positions 51-75
-    (pipeline_training_mix, dedup_incremental, dedup_embedding_pairs,
+    green rows go stale after this round rotate back in (rule 2), and 26
+    r04-green unchanged veterans rotate to tail positions 51-76
+    (dedup_minhash_lsh, pipeline_training_mix, dedup_incremental,
+    dedup_embedding_pairs,
     text_quality, text_langid, text_keyword_topk, a7, a8 displaced this
     round to make window room)."""
     return {
@@ -1160,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_topk": _text_vocab_topk,
         "text_dup_ngram_coverage": _text_dup_ngrams,
         "embedding_label_centroids": _embedding_label_centroids,
+        "text_winnow_fingerprints": _text_winnow,
         # -- new round 5 (persisted-index ANN production paths) -------------
         "ann_ivf_indexed": _ann_ivf_indexed,
         "ann_lsh_indexed": _ann_lsh_indexed,
@@ -1205,8 +1214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_family_envelope": _g4_family_envelope,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "dedup_minhash_lsh": _dedup_minhash_lsh,
         # -- tail (positions 51+): r04 green rows banked, unchanged round 5 -
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
         "pipeline_training_mix": _pipeline_training_mix,
         "dedup_incremental": _dedup_incremental,
         "dedup_embedding_pairs": _dedup_embedding_pairs,
@@ -2441,6 +2450,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(lm_millis) AS BIGINT) AS min_lm_millis,
                    CAST(max(lm_millis) AS BIGINT) AS max_lm_millis
             FROM b GROUP BY 1, 2
+        """,
+        # winnowing (k=4 word-grams, w=4): ROWS BETWEEN clips at the
+        # partition end, so a doc with < w k-grams keeps i=1's min over all
+        # of them — the same single-window edge case Spark's otherwise()
+        # branch implements
+        "text_winnow_fingerprints": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS t FROM documents WHERE len({_TOKS}) >= 4
+            ),
+            g AS (
+                SELECT doc_id, i,
+                       ('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 8))::BIGINT AS h,
+                       len(t) - 3 AS m
+                FROM t, unnest(range(1, len(t) - 2)) AS u(i)
+            ),
+            wins AS (
+                SELECT doc_id, i, m,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+                FROM g
+            )
+            SELECT DISTINCT doc_id, fp AS fingerprint
+            FROM wins
+            WHERE i <= greatest(m - 3, 1)
         """,
         "embedding_label_centroids": f"""
             WITH q AS (SELECT label, {_QUANT} AS qv FROM embeddings),

@@ -405,6 +405,54 @@ def lm_perplexity_buckets(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    MOSS algorithm): hash every word k-gram, slide a window of w consecutive
+    hashes, keep each window's minimum — the guarantee is that any shared
+    run of >= w+k-1 words between two docs shares at least one fingerprint,
+    while storing ~2/(w+1) of the k-gram hashes. The copy-detection sketch
+    between exact hashing (stores everything) and minhash (loses locality).
+
+    Output: DISTINCT (doc_id, fingerprint) rows, h32-hashed (cross-engine
+    md5-prefix contract). Docs with < k tokens have no k-grams and drop out.
+
+    Scale shape: k-gram hashing and the window minima are per-row array
+    HOFs inside whole-stage codegen — zero shuffles until the final
+    explode+distinct, which is one hash aggregation on (doc_id, fp) whose
+    output is the ~2/(w+1)-compressed sketch, not the token stream."""
+    toks = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= k)
+    m = F.size("t") - (k - 1)  # number of k-grams
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.conv(
+            F.substring(F.md5(F.array_join(F.slice("t", i, k), " ")), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    with_h = toks.select(id_col, gram_hashes.alias("h"))
+    n_win = F.size("h") - (w - 1)
+    mins = F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+            lambda i: F.array_min(F.slice("h", i, w)),
+        ),
+        # fewer than w k-grams: a single window over all of them (standard
+        # winnowing edge case — every doc keeps >= 1 fingerprint)
+    ).otherwise(F.array(F.array_min("h")))
+    return (
+        with_h.select(id_col, F.explode(mins).alias("fingerprint"))
+        .distinct()
+    )
+
+
 def vocab_topk(
     docs: DataFrame,
     k: int = 100,

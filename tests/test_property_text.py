@@ -264,6 +264,41 @@ def test_dup_ngram_coverage_counts_shared_spans(spark):
     assert got == {1: (3, 1, 333), 2: (3, 1, 333), 3: (1, 0, 0)}
 
 
+def test_winnow_fingerprints_guarantee_and_python_twin(spark):
+    """Pure-Python winnow twin (k=4 word-grams, w=4 windows, h32 hashes)
+    matches exactly; any shared run of >= w+k-1 = 7 words yields a shared
+    fingerprint; a doc with fewer than w k-grams still keeps one."""
+    import hashlib
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def py_winnow(text, k=4, w=4):
+        ws = [x for x in __import__("re").split(r"[^a-z0-9]+", text.lower()) if x]
+        if len(ws) < k:
+            return set()
+        hs = [h32(" ".join(ws[i:i + k])) for i in range(len(ws) - k + 1)]
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+
+    shared = "one two three four five six seven"  # 7 words = w+k-1
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta epsilon"),
+        (2, shared + " zeta eta theta iota kappa"),
+        (3, "tiny little four words more"),   # 5 tokens -> 2 k-grams < w
+        (4, "abc def"),                       # < k tokens -> no fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in textquality.winnow_fingerprints(df, k=4, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    for d, t in rows:
+        assert got.get(d, set()) == py_winnow(t), d
+    assert got[1] & got[2], "shared 7-word run must share a fingerprint"
+    assert len(got[3]) == 1
+
+
 def test_pii_scrub_counts_and_redacts(spark):
     """Crafted cases: multiple matches per doc, the email->ip->phone order
     (an address's digits are gone before the ip/phone passes), near-misses

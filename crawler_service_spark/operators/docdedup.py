@@ -35,12 +35,22 @@ from .textquality import h32, h32_py, tokens_col
 SIMHASH_BITS = 32
 
 
-def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """One row per distinct text: keeper doc_id + duplicate count."""
-    return (
-        docs.select(F.md5(F.col(text_col)).alias("text_hash"), "doc_id")
-        .groupBy("text_hash")
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", hash_col: str | None = None
+) -> DataFrame:
+    """One row per distinct text: keeper doc_id + duplicate count.
+
+    ``hash_col`` names a PRECOMPUTED content-hash column to group on
+    directly — on a corpus bucketed by that column (plans/bucketing.py) the
+    aggregation then runs with ZERO Exchange: the standing-key shuffle was
+    paid once at write time, which is the layout a 10^10-doc corpus that
+    dedupes every ingest cycle wants (asserted in tests/test_bucketing.py)."""
+    if hash_col is not None:
+        keyed = docs.select(F.col(hash_col).alias("text_hash"), "doc_id")
+    else:
+        keyed = docs.select(F.md5(F.col(text_col)).alias("text_hash"), "doc_id")
+    return keyed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups")
     )
 
 

@@ -58,3 +58,26 @@ def test_bucketed_groupby_skips_exchange(spark, tmp_path, no_broadcast):
     assert "Exchange" not in plan, f"groupBy on the bucket key must not shuffle:\n{plan}"
     assert agg.count() == 997
     spark.sql("DROP TABLE IF EXISTS b_agg")
+
+
+def test_bucketed_corpus_exact_dedup_no_exchange(spark, tmp_path, no_broadcast):
+    """A corpus bucketed on a precomputed text_hash dedupes with ZERO
+    Exchange (the standing-key shuffle was paid once at write), and the
+    result equals the plain md5-grouping path over the same rows."""
+    from crawler_service_spark.operators import docdedup
+
+    docs = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc text "), (F.col("id") % 700).cast("string")).alias("text"),
+    ).withColumn("text_hash", F.md5("text"))
+    write_bucketed(docs, "b_corpus", "text_hash", 8, path=str(tmp_path / "c"))
+
+    fast = docdedup.exact_dedup(read_bucketed(spark, "b_corpus"), hash_col="text_hash")
+    plan = plan_string(fast)
+    assert "Exchange" not in plan, f"bucketed dedup must not shuffle:\n{plan}"
+
+    plain = docdedup.exact_dedup(docs)
+    got = sorted(tuple(r) for r in fast.collect())
+    want = sorted(tuple(r) for r in plain.collect())
+    assert got == want and len(got) == 700
+    spark.sql("DROP TABLE IF EXISTS b_corpus")

@@ -35,6 +35,7 @@ from crawler_service_spark.functions.urls import ext_class_col, extension_col
 from crawler_service_spark.operators import (
     ann_index,
     docdedup,
+    graph,
     grouping,
     multimodal,
     sampling,
@@ -735,6 +736,23 @@ def _text_dup_ngrams(spark, sf):
     return textquality.dup_ngram_coverage(_t(spark, sf, "documents"), n=5)
 
 
+def _graph_pagerank(spark, sf):
+    """Integer-millis PageRank (3 fixed iterations) over a deterministic
+    doc-family link graph: member docs link to their family hub, hubs chain
+    to the next hub — the crawl-prioritization signal ranked frontier
+    expansion uses."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 25).alias("fam")
+    )
+    to_hub = d.filter(F.col("doc_id") % 25 != 0).select(
+        F.col("doc_id").alias("src"), F.col("fam").alias("dst")
+    )
+    chain = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 25).alias("dst")
+    )
+    return graph.pagerank_millis(to_hub.unionByName(chain), iterations=3)
+
+
 def _text_winnow(spark, sf):
     """Winnowing fingerprints (MOSS): k=4 word-gram h32 hashes, window-of-4
     minima, distinct (doc_id, fingerprint) sketch rows."""
@@ -1143,19 +1161,19 @@ def _multimodal_neardup_frames(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's CORRECTNESS order, and the driver caps
     the record at 50 rows per round — so ordering is a rotation policy, not
-    cosmetic (see REGISTRY.md). Round 5 (76 entries): the fourteen NEW
+    cosmetic (see REGISTRY.md). Round 5 (77 entries): the fifteen NEW
     queries lead (bigram-LM fluency score, domain diagnostics rollup,
     near-dup cluster-size histogram, CCNet-style LM perplexity buckets,
     PII scrub, vocabulary top-k, duplicated-n-gram coverage, per-label
-    embedding centroids, winnowing fingerprints, three persisted-index ANN
-    paths, the SemDeDup
+    embedding centroids, winnowing fingerprints, integer PageRank, three
+    persisted-index ANN paths, the SemDeDup
     training mix, the multimodal near-dup-frames pipeline — never
     driver-checked), ann_pq_topk stays in-window because its oracle gained
     the dirty-row predicate this round (rule 3), the 12 queries whose r03
-    green rows go stale after this round rotate back in (rule 2), and 26
-    r04-green unchanged veterans rotate to tail positions 51-76
-    (dedup_minhash_lsh, pipeline_training_mix, dedup_incremental,
-    dedup_embedding_pairs,
+    green rows go stale after this round rotate back in (rule 2), and 27
+    r04-green unchanged veterans rotate to tail positions 51-77
+    (dedup_ngram_jaccard, dedup_minhash_lsh, pipeline_training_mix,
+    dedup_incremental, dedup_embedding_pairs,
     text_quality, text_langid, text_keyword_topk, a7, a8 displaced this
     round to make window room)."""
     return {
@@ -1169,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_ngram_coverage": _text_dup_ngrams,
         "embedding_label_centroids": _embedding_label_centroids,
         "text_winnow_fingerprints": _text_winnow,
+        "graph_pagerank": _graph_pagerank,
         # -- new round 5 (persisted-index ANN production paths) -------------
         "ann_ivf_indexed": _ann_ivf_indexed,
         "ann_lsh_indexed": _ann_lsh_indexed,
@@ -1213,8 +1232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c9_json_extract": _c9_json_extract,
         "g4_family_envelope": _g4_family_envelope,
         "dedup_exact": _dedup_exact,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         # -- tail (positions 51+): r04 green rows banked, unchanged round 5 -
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "pipeline_training_mix": _pipeline_training_mix,
         "dedup_incremental": _dedup_incremental,
@@ -1474,6 +1493,40 @@ def _cluster_histogram_sql() -> str:
         SELECT n_members, n_clusters,
                CAST(n_members * n_clusters AS BIGINT) AS n_docs
         FROM uni
+    """
+
+
+def _pagerank_sql(iterations: int = 3, damping: int = 850) -> str:
+    """DuckDB twin of graph.pagerank_millis over the doc-family link graph:
+    the fixed iteration count unrolls into one CTE per step (p0..pN), each
+    applying the identical truncating-integer update."""
+    base = 1000 - damping
+    ctes = []
+    for t in range(iterations):
+        ctes.append(f"""
+        p{t + 1} AS (
+            SELECT n.node,
+                   CAST({base} + ({damping} * coalesce(s.s, 0)) // 1000 AS BIGINT) AS pr_millis
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(p.pr_millis // o.outdeg) AS s
+                FROM e JOIN outd o USING (src) JOIN p{t} p ON p.node = e.src
+                GROUP BY e.dst
+            ) s ON s.node = n.node
+        )""")
+    return f"""
+        WITH d AS (SELECT doc_id, doc_id - doc_id % 25 AS fam FROM documents),
+        e AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT doc_id AS src, fam AS dst FROM d WHERE doc_id % 25 <> 0
+                UNION ALL
+                SELECT doc_id AS src, doc_id + 25 AS dst FROM d WHERE doc_id % 25 = 0
+            ) WHERE src <> dst
+        ),
+        outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        p0 AS (SELECT node, CAST(1000 AS BIGINT) AS pr_millis FROM nodes),
+        {",".join(ctes)}
+        SELECT node, pr_millis FROM p{iterations}
     """
 
 
@@ -2451,6 +2504,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(lm_millis) AS BIGINT) AS max_lm_millis
             FROM b GROUP BY 1, 2
         """,
+        "graph_pagerank": _pagerank_sql(iterations=3),
         # winnowing (k=4 word-grams, w=4): ROWS BETWEEN clips at the
         # partition end, so a doc with < w k-grams keeps i=1's min over all
         # of them — the same single-window edge case Spark's otherwise()

@@ -120,6 +120,63 @@ def _small_star(E: DataFrame) -> DataFrame:
     return out.filter(F.col("a") != F.col("b")).distinct()
 
 
+def pagerank_millis(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_permille: int = 850,
+) -> DataFrame:
+    """Fixed-iteration PageRank in integer millis — the classic crawl-
+    prioritization signal (rank frontier hosts/pages by link authority)
+    under the repo's cross-engine integer contract: pr_0 = 1000,
+    ``pr_{t+1}(v) = (1000 - d) + div(d * sum_u div(pr_t(u), outdeg(u)),
+    1000)`` over distinct directed edges, truncating division at both
+    steps, dangling mass dropped (documented simplification — determinism
+    over stochastic-matrix purity; a fixed iteration count rather than a
+    float convergence test keeps the DuckDB twin exactly unrollable).
+
+    Scale shape: each iteration is ONE join of edges with the rank frame on
+    src and ONE groupBy shuffle on dst (map-side combined), the canonical
+    Spark PR shape; ranks are ``localCheckpoint``ed per round so lineage
+    stays O(1) in iterations. Hub in-degree skew lands in the dst
+    aggregation where partial aggregation absorbs it; AQE skew-join covers
+    the src join."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    outd = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    base = 1000 - damping_permille
+    pr = nodes.withColumn("pr_millis", F.lit(1000).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(outd, "src")
+            .join(pr.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("div(pr_millis, outdeg)").alias("c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        pr = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"div({damping_permille} * coalesce(s, 0L), 1000)")
+                ).cast("long").alias("pr_millis"),
+            )
+            .localCheckpoint()
+        )
+    return pr
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "src",

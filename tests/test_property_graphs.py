@@ -176,3 +176,38 @@ def test_star_cc_logarithmic_rounds_on_deep_path(spark):
     labels = connected_components_star(chain, max_rounds=8).collect()
     assert {r["component"] for r in labels} == {0}
     assert len(labels) == 61
+
+
+def test_pagerank_millis_matches_python_twin(spark):
+    """Fixed-iteration integer PageRank == a dict-based Python twin on a
+    graph with a hub, a chain, and a dangling sink; pure in-neighbor-less
+    nodes stay at the base rank."""
+    from pyspark.sql import functions as F
+
+    from crawler_service_spark.operators.graph import pagerank_millis
+
+    edges = [(1, 4), (2, 4), (3, 4), (4, 5), (5, 6), (2, 5)]  # 6 dangling
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    def py_pr(es, iters=3, d=850):
+        from collections import defaultdict
+
+        outdeg: dict[int, int] = defaultdict(int)
+        for s, t in es:
+            outdeg[s] += 1
+        nodes = {n for e in es for n in e}
+        pr = {n: 1000 for n in nodes}
+        for _ in range(iters):
+            s = defaultdict(int)
+            for u, v in es:
+                s[v] += pr[u] // outdeg[u]
+            pr = {n: (1000 - d) + (d * s[n]) // 1000 for n in nodes}
+        return pr
+
+    for probe in (df, df.repartition(5)):
+        got = {r["node"]: r["pr_millis"] for r in pagerank_millis(probe).collect()}
+        assert got == py_pr(edges)
+    assert got[1] == 150  # no in-edges -> base rank after every iteration
+    # link-receiving nodes outrank pure sources (4 gets 3 in-links; 5 sits
+    # downstream of the hub and has absorbed its mass by iteration 3)
+    assert got[4] > got[1] and got[5] > got[4]

@@ -182,7 +182,9 @@ def main() -> int:
                  "dedup_minhash_verified", "dedup_embedding_lsh", "ann_lsh_topk",
                  "dedup_minhash_cluster", "dedup_incremental", "ann_pq_topk",
                  "pipeline_training_mix_semantic", "multimodal_neardup_frames",
-                 "pipeline_lm_buckets", "dedup_cluster_histogram"]:
+                 "pipeline_lm_buckets", "dedup_cluster_histogram",
+                 "graph_pagerank", "text_dup_ngram_coverage",
+                 "embedding_label_centroids", "text_winnow_fingerprints"]:
         plan = formatted(qs[name](spark, SF_DIR))
         if "CartesianProduct" in plan:
             failures.append((name, "unexpected cartesian product"))

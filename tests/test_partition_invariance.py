@@ -86,6 +86,51 @@ def test_doc_pipeline_ops_invariant_across_partitioning(spark):
     assert a == b
 
 
+def test_round5_ops_invariant_across_partitioning(spark):
+    """The round-5 corpus/graph operators are pure functions of their input
+    set: identical results at shuffle_partitions 2 vs 7 and input
+    repartition 1 vs 5."""
+    from pyspark.sql import functions as F
+
+    from crawler_service_spark.operators import docdedup, graph, similarity, textquality
+
+    base = "the quick brown fox and the dog ran to a barn near the old mill tonight"
+    docs_rows = [(i, f"{base} variant {i % 5} tail {i % 11}", ["en", "de"][i % 2])
+                 for i in range(60)]
+    edge_rows = [(i, (i * 7 + 1) % 40) for i in range(60)]
+    vec_rows = [(i, [((i * 13 + j * 5) % 201) - 100 for j in range(8)], i % 3)
+                for i in range(45)]
+
+    def run(n_parts: int, n_input: int):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        try:
+            docs = spark.createDataFrame(
+                docs_rows, "doc_id long, text string, lang string"
+            ).repartition(n_input)
+            edges = spark.createDataFrame(edge_rows, "src long, dst long").repartition(n_input)
+            vecs = spark.createDataFrame(
+                vec_rows, "vec_id long, qv array<long>, label int"
+            ).repartition(n_input)
+            return {
+                "hist": sorted(map(tuple, docdedup.minhash_cluster_histogram(
+                    docs, threshold_permille=300).collect())),
+                "buckets": sorted(map(tuple, textquality.lm_perplexity_buckets(docs).collect())),
+                "pii": sorted(map(tuple, textquality.pii_scrub(docs).collect())),
+                "vocab": [tuple(r) for r in textquality.vocab_topk(docs, k=10).collect()],
+                "dupng": sorted(map(tuple, textquality.dup_ngram_coverage(docs, n=3).collect())),
+                "winnow": sorted(map(tuple, textquality.winnow_fingerprints(docs).collect())),
+                "centroids": sorted(map(tuple, similarity.label_centroids(vecs).collect())),
+                "pagerank": sorted(map(tuple, graph.pagerank_millis(edges).collect())),
+            }
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    a = run(2, 1)
+    b = run(7, 5)
+    assert a == b
+
+
 def test_lloyd_and_mix_invariant_across_partitioning(spark):
     """Round-4 additions are pure functions of the input set too: the Lloyd-
     refined centroids/codebooks (integer means over a deterministic sample)

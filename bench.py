@@ -59,6 +59,7 @@ HEADLINE_QUERIES = [
     "text_pii_scrub",
     "text_vocab_topk",
     "text_dup_ngram_coverage",
+    "graph_pagerank",
     "pipeline_sample_mix",
     "pipeline_training_mix",
     "pipeline_training_mix_semantic",

@@ -373,3 +373,47 @@ def test_lsh_append_imbalance_warn(spark, ann_vectors, tmp_path):
     assert s1["n_vectors"] == 600
     assert s1["max_bucket"] >= 300
     assert s1["imbalance_millis"] > s0["imbalance_millis"]
+
+
+def test_ivf_indexed_query_matches_python_brute_force(spark, ann_vectors, tmp_path):
+    """ivf_topk_indexed == an INDEPENDENT pure-Python integer-cosine ranking
+    over the probed lists' rows (exact isqrt norms, truncating division) —
+    the ground-truth check tools/ann_soak.py runs at 250k, pinned here at
+    suite scale so the contract can't silently drift."""
+    import math
+
+    from crawler_service_spark.operators import ann_index, similarity
+    from crawler_service_spark.storage.catalog import ManifestCatalog
+
+    df, q = ann_vectors
+    cat = ManifestCatalog(str(tmp_path / "cat"), spark)
+    ann_index.build_ivf_index(cat, df, n_lists=8, refine=1, dim=32)
+    qvec = q[5]
+
+    got = [
+        (r["vec_id"], r["cosine_micros"])
+        for r in ann_index.ivf_topk_indexed(cat, qvec, k=7, n_probe=3).collect()
+    ]
+
+    probes = similarity.nearest_centroids_py(
+        qvec, ann_index.read_ivf_centroids(cat), 3
+    )
+    from pyspark.sql import functions as F
+
+    rows = (
+        cat.read("ivf_lists", schema=ann_index.LISTS_SCHEMA)
+        .filter(F.col("list_id").isin(list(probes)))
+        .select("vec_id", "qv")
+        .collect()
+    )
+    nq = math.isqrt(sum(v * v for v in qvec))
+    scored = []
+    for r in rows:
+        qv = [int(x) for x in r["qv"]]
+        dot = sum(a * b for a, b in zip(qv, qvec))
+        na = math.isqrt(sum(a * a for a in qv))
+        scored.append((_trunc_div(1_000_000 * dot, max(na * nq, 1)), int(r["vec_id"])))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    want = [(v, c) for c, v in scored[:7]]
+    assert got == want
+    assert got[0][0] == 5, "the query vector itself must rank first"

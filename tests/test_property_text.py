@@ -264,6 +264,40 @@ def test_dup_ngram_coverage_counts_shared_spans(spark):
     assert got == {1: (3, 1, 333), 2: (3, 1, 333), 3: (1, 0, 0)}
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=0, max_size=14),
+        min_size=1, max_size=6,
+    )
+)
+def test_winnow_fingerprints_matches_python_on_random_docs(spark, doc_words):
+    """Random corpora incl. the short-doc edge cases (< k tokens -> no
+    fingerprints; k <= tokens < k+w-1 -> single window): Spark == Python."""
+    import hashlib
+    import re as _re
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def py_winnow(text, k=3, w=2):
+        ws = [x for x in _re.split(r"[^a-z0-9]+", text.lower()) if x]
+        if len(ws) < k:
+            return set()
+        hs = [h32(" ".join(ws[i:i + k])) for i in range(len(ws) - k + 1)]
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(doc_words)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in textquality.winnow_fingerprints(df, k=3, w=2).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    want = {d: py_winnow(t) for d, t in docs if py_winnow(t)}
+    assert got == want
+
+
 def test_winnow_fingerprints_guarantee_and_python_twin(spark):
     """Pure-Python winnow twin (k=4 word-grams, w=4 windows, h32 hashes)
     matches exactly; any shared run of >= w+k-1 = 7 words yields a shared

@@ -92,6 +92,43 @@ def parse_robots(
     return rules
 
 
+def parse_sitemaps(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, robots_txt) -> DISTINCT (host, sitemap_url).
+
+    ``Sitemap:`` directives are GLOBAL per the sitemaps.org protocol (and
+    RFC 9309 treats lines outside known rules as belonging to no group), so
+    extraction is a pure line scan with none of parse_robots' user-agent
+    group machinery — the key is matched case-insensitively and the value
+    keeps everything after the FIRST colon (sitemap URLs contain colons).
+    Sitemap discovery feeds the frontier as seed URLs — the standard
+    crawler bootstrap the reference's seed lists model by hand.
+
+    Scale shape: explode lines -> filter -> distinct; one output-sized
+    shuffle for the distinct, everything before it codegen."""
+    lines = robots.select(
+        host_col,
+        F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+    )
+    cleaned = lines.select(
+        host_col, F.trim(F.regexp_replace(F.col("raw"), r"#.*$", "")).alias("l")
+    )
+    key = F.lower(F.trim(F.substring_index(F.col("l"), ":", 1)))
+    val = F.when(
+        F.instr(F.col("l"), ":") > 0,
+        F.trim(F.expr("substring(l, instr(l, ':') + 1)")),
+    ).otherwise(F.lit(""))
+    return (
+        cleaned.select(F.col(host_col).alias("host"), key.alias("key"), val.alias("val"))
+        .filter((F.col("key") == "sitemap") & (F.col("val") != ""))
+        .select("host", F.col("val").alias("sitemap_url"))
+        .distinct()
+    )
+
+
 def robots_filter_spec(
     candidates: DataFrame, rules: DataFrame, path_col: str = "path"
 ) -> DataFrame:

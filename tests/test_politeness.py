@@ -184,3 +184,31 @@ def test_parse_robots_multi_agent_group(spark):
     df = spark.createDataFrame([("c.com", body)], "host string, robots_txt string")
     got = {(r["host"], r["path_prefix"]): r["allow"] for r in parse_robots(df).collect()}
     assert got == {("c.com", "/x"): False}
+
+
+def test_parse_sitemaps_global_scope_and_edge_cases(spark):
+    """Sitemap lines extract regardless of user-agent grouping (global per
+    the sitemaps protocol), keys match case-insensitively, URLs keep their
+    colons, commented-out and empty directives drop, duplicates collapse."""
+    from crawler_service_spark.operators.robots import parse_sitemaps
+
+    body = "\n".join([
+        "User-agent: googlebot",
+        "Disallow: /g",
+        "Sitemap: https://a.example.com/inside-group.xml",  # global anyway
+        "",
+        "User-agent: *",
+        "Disallow: /private",
+        "SITEMAP: https://a.example.com/caps.xml",
+        "# Sitemap: https://a.example.com/commented.xml",
+        "Sitemap:",                                          # empty -> drop
+        "sitemap: https://a.example.com/caps.xml",           # dup -> collapse
+    ])
+    df = spark.createDataFrame([("a.example.com", body)], "host string, robots_txt string")
+    got = {
+        (r["host"], r["sitemap_url"]) for r in parse_sitemaps(df).collect()
+    }
+    assert got == {
+        ("a.example.com", "https://a.example.com/inside-group.xml"),
+        ("a.example.com", "https://a.example.com/caps.xml"),
+    }

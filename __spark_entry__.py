@@ -668,6 +668,42 @@ def _pipeline_training_mix_semantic(spark, sf):
     return _mix_sample(gated.join(sem_dup, "doc_id", "left_anti"))
 
 
+def _pipeline_training_mix_full(spark, sf):
+    """The COMPLETE modern corpus build in one composed plan: Gopher gate ->
+    exact-dedup keeper -> benchmark decontamination -> minhash near-dup
+    keeper (full-corpus verified pairs -> star CC -> drop non-keepers) ->
+    SemDeDup embedding stage -> stratified sample -> PII scrub of the
+    surviving docs (token counts over the REDACTED text — you tokenize what
+    you train on). Both drop lists are |duplicates|-sized, so at scale the
+    anti-joins broadcast; the scrub is a codegen map over the sampled
+    survivors only."""
+    d = _t(spark, sf, "documents")
+    gated = _training_mix_gated(spark, sf)
+    mh_drop = docdedup.minhash_dup_ids(
+        d, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        threshold_permille=JACCARD_THRESHOLD,
+    )
+    sem_drop = similarity.semantic_dup_ids(
+        _quantized(spark, sf).filter(F.col("vec_id") % DECON_BENCH_MOD != 0),
+        dim=EMB_DIM, dot_threshold=DOT_PAIR_THRESHOLD,
+        n_planes=PAIR_PLANES, band_bits=PAIR_BAND_BITS,
+    ).select(F.col("vec_id").alias("doc_id"))
+    full = gated.join(mh_drop, "doc_id", "left_anti").join(
+        sem_drop, "doc_id", "left_anti"
+    )
+    mix = sampling.stratified_sample(
+        full, SAMPLE_RATES, strata_col="lang",
+        default_permille=SAMPLE_DEFAULT, salt=SAMPLE_SALT,
+    )
+    n_emails, n_ips, n_phones, scrubbed = textquality.pii_redact_cols(F.col("text"))
+    return mix.select(
+        "doc_id", "lang", "source",
+        F.size(textquality.tokens_col(scrubbed)).cast("long").alias("n_tokens"),
+        (n_emails + n_ips + n_phones).cast("long").alias("pii_hits"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
 SESSION_GAP_S = 3600
 
 
@@ -1185,20 +1221,22 @@ def _multimodal_neardup_frames(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's CORRECTNESS order, and the driver caps
     the record at 50 rows per round — so ordering is a rotation policy, not
-    cosmetic (see REGISTRY.md). Round 5 (78 entries): the sixteen NEW
+    cosmetic (see REGISTRY.md). Round 5 (79 entries): the seventeen NEW
     queries lead (bigram-LM fluency score, domain diagnostics rollup,
     near-dup cluster-size histogram, CCNet-style LM perplexity buckets,
     PII scrub, vocabulary top-k, duplicated-n-gram coverage, per-label
     embedding centroids, winnowing fingerprints, integer PageRank,
     robots sitemap extraction, three persisted-index ANN paths, the
-    SemDeDup
+    FULL corpus build (gate -> exact -> decon -> minhash keeper ->
+    SemDeDup -> sample -> PII scrub), the SemDeDup
     training mix, the multimodal near-dup-frames pipeline — never
     driver-checked), ann_pq_topk stays in-window because its oracle gained
     the dirty-row predicate this round (rule 3), the 12 queries whose r03
-    green rows go stale after this round rotate back in (rule 2), and 28
-    r04-green unchanged veterans rotate to tail positions 51-78
-    (dedup_exact, dedup_ngram_jaccard, dedup_minhash_lsh,
-    pipeline_training_mix, dedup_incremental, dedup_embedding_pairs,
+    green rows go stale after this round rotate back in (rule 2), and 29
+    r04-green unchanged veterans rotate to tail positions 51-79
+    (g4_family_envelope, dedup_exact, dedup_ngram_jaccard,
+    dedup_minhash_lsh, pipeline_training_mix, dedup_incremental,
+    dedup_embedding_pairs,
     text_quality, text_langid, text_keyword_topk, a7, a8 displaced this
     round to make window room)."""
     return {
@@ -1219,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_indexed": _ann_lsh_indexed,
         "ann_pq_indexed": _ann_pq_indexed,
         "pipeline_training_mix_semantic": _pipeline_training_mix_semantic,
+        "pipeline_training_mix_full": _pipeline_training_mix_full,
         "multimodal_neardup_frames": _multimodal_neardup_frames,
         # changed round 5 (oracle s1 dirty-row predicate) -> stays in-window
         "ann_pq_topk": _ann_pq_topk,
@@ -1256,8 +1295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1_extension_class": _c1_extension_class,
         "c4_hash": _c4_hash,
         "c9_json_extract": _c9_json_extract,
-        "g4_family_envelope": _g4_family_envelope,
         # -- tail (positions 51+): r04 green rows banked, unchanged round 5 -
+        "g4_family_envelope": _g4_family_envelope,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -2032,16 +2071,42 @@ def _neardup_frames_sql() -> str:
     """
 
 
-def _training_mix_sql(semantic: bool = False) -> str:
+def _training_mix_sql(semantic: bool = False, full: bool = False) -> str:
     """DuckDB twin of the training-mix builders. With ``semantic=True`` the
     gate adds the SemDeDup stage: the same banded-LSH verified pairs as
     _embedding_lsh_sql (restricted to corpus vec_ids), a recursive-CTE
     transitive closure (the small-data oracle for the Spark star-CC path,
     exactly as _minhash_cluster_sql does), and a NOT IN drop of every
-    cluster member except the min-id keeper."""
+    cluster member except the min-id keeper. ``full=True`` (implies
+    semantic) additionally splices the full-corpus minhash verified-pairs
+    chain + closure (an `mh_dup` NOT IN drop — the near-dup keeper stage)
+    and emits the PII-scrubbed output columns (tokens over the REDACTED
+    text, pii_hits, scrubbed md5)."""
     from crawler_service_spark.operators.similarity import int_planes
 
-    sem_ctes, sem_gate, recursive = "", "", ""
+    semantic = semantic or full
+    sem_ctes, sem_gate, recursive, mh_ctes = "", "", "", ""
+    if full:
+        core = _minhash_verified_core(recursive=True)
+        mh_ctes = (
+            core[core.index("WITH RECURSIVE") + len("WITH RECURSIVE"):].rstrip()
+            + """
+            , edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM verified
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM verified
+            ),
+            reach AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+            ),
+            mh_dup AS (
+                SELECT a AS doc_id FROM reach GROUP BY a
+                HAVING a <> least(a, min(b))
+            ),
+        """
+        )
     if semantic:
         planes = int_planes(EMB_DIM, PAIR_PLANES)
         n_bands = PAIR_PLANES // PAIR_BAND_BITS
@@ -2087,8 +2152,40 @@ def _training_mix_sql(semantic: bool = False) -> str:
             ),
         """
         sem_gate = "WHERE corpus.doc_id NOT IN (SELECT doc_id FROM sem_dup)"
+    if full:
+        sem_gate += " AND corpus.doc_id NOT IN (SELECT doc_id FROM mh_dup)"
+    sample_pred = f"""('0x' || substr(md5(doc_id::VARCHAR || ':{SAMPLE_SALT}'), 1, 8))::BIGINT % 1000
+                  < CASE {' '.join(f"WHEN lang = '{s}' THEN {r}" for s, r in sorted(SAMPLE_RATES.items()))}
+                         ELSE {SAMPLE_DEFAULT} END"""
+    if full:
+        em, ip, ph = (
+            textquality.PII_EMAIL_RE, textquality.PII_IPV4_RE, textquality.PII_PHONE_RE
+        )
+        tail = f"""
+            , scrub AS (
+                SELECT doc_id, lang, source,
+                       regexp_replace(regexp_replace(regexp_replace(text,
+                           '{em}', '<EMAIL>', 'g'), '{ip}', '<IP>', 'g'),
+                           '{ph}', '<PHONE>', 'g') AS text,
+                       CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT)
+                       + CAST(len(regexp_extract_all(regexp_replace(text, '{em}', '<EMAIL>', 'g'), '{ip}')) AS BIGINT)
+                       + CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text, '{em}', '<EMAIL>', 'g'), '{ip}', '<IP>', 'g'), '{ph}')) AS BIGINT) AS pii_hits
+                FROM gated
+                WHERE {sample_pred}
+            )
+            SELECT doc_id, lang, source,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   pii_hits, md5(text) AS scrubbed_md5
+            FROM scrub
+        """
+    else:
+        tail = f"""
+            SELECT doc_id, lang, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM gated
+            WHERE {sample_pred}
+        """
     return f"""
-            WITH {recursive}{sem_ctes}corpus AS (
+            WITH {recursive}{mh_ctes}{sem_ctes}corpus AS (
                 SELECT doc_id, lang, source, text FROM documents
                 WHERE doc_id % {DECON_BENCH_MOD} <> 0
             ),
@@ -2141,11 +2238,7 @@ def _training_mix_sql(semantic: bool = False) -> str:
                 JOIN clean USING (doc_id)
                 {sem_gate}
             )
-            SELECT doc_id, lang, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
-            FROM gated
-            WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':{SAMPLE_SALT}'), 1, 8))::BIGINT % 1000
-                  < CASE {' '.join(f"WHEN lang = '{s}' THEN {r}" for s, r in sorted(SAMPLE_RATES.items()))}
-                         ELSE {SAMPLE_DEFAULT} END
+            {tail}
         """
 
 
@@ -2769,6 +2862,7 @@ def oracle_sql() -> dict[str, str]:
         "text_keyword_topk": _keyword_topk_sql(),
         "pipeline_training_mix": _training_mix_sql(),
         "pipeline_training_mix_semantic": _training_mix_sql(semantic=True),
+        "pipeline_training_mix_full": _training_mix_sql(full=True),
         "pipeline_sample_mix": f"""
             SELECT doc_id, lang, source FROM documents
             WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':{SAMPLE_SALT}'), 1, 8))::BIGINT % 1000

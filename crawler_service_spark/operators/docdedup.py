@@ -370,6 +370,34 @@ def minhash_dup_clusters(
     )
 
 
+def minhash_dup_ids(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold_permille: int = 300,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup DROP list: every cluster member except the min-id canonical
+    keeper (one ``doc_id`` column) — the minhash analogue of
+    similarity.semantic_dup_ids, shaped for composing into a corpus build
+    as an anti-join. Docs in no cluster never appear, so the frame is
+    |near-dup non-keepers|, not |corpus| — broadcastable at realistic dup
+    rates."""
+    from .graph import connected_components_star
+
+    pairs = minhash_verified_pairs(
+        docs, num_hashes=num_hashes, bands=bands, n=n,
+        threshold_permille=threshold_permille, text_col=text_col,
+    )
+    cc = connected_components_star(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+
+
 def minhash_cluster_histogram(
     docs: DataFrame,
     num_hashes: int = 16,

@@ -359,6 +359,32 @@ def test_cluster_histogram_partitions_the_corpus(spark):
     assert {r["n_members"] for r in hist} >= {1}, "size-1 row always present"
 
 
+def test_minhash_dup_ids_drops_exactly_the_non_keepers(spark):
+    """The drop list == every clustered doc except each cluster's min-id
+    keeper (cross-checked against the cluster rollup), and unclustered docs
+    never appear."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank at dawn every single day"
+    d = _docs(
+        spark,
+        [
+            (1, base),
+            (2, base),
+            (3, base.replace("dawn", "dusk")),
+            (4, "completely different text about spark shuffles and partition skew in big batch jobs"),
+            (5, "completely different text about spark shuffles and partition skew in big batch work"),
+            (6, "a unique short document with nothing in common with the others at all whatsoever today"),
+        ],
+    )
+    clusters = docdedup.minhash_dup_clusters(d, threshold_permille=300).collect()
+    n_clustered = sum(r["n_members"] for r in clusters)
+    keepers = {r["cluster_id"] for r in clusters}
+
+    drops = {r["doc_id"] for r in docdedup.minhash_dup_ids(d, threshold_permille=300).collect()}
+    assert len(drops) == n_clustered - len(keepers)
+    assert not (drops & keepers), "keepers must never be dropped"
+    assert 6 not in drops, "unclustered docs never appear"
+
+
 def test_incremental_dups_flags_only_index_matches(spark):
     """Batch docs are flagged iff they near-duplicate an INDEX doc; a batch
     doc that only duplicates another batch doc is NOT flagged (the standing

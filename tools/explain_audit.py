@@ -83,6 +83,11 @@ CLAIMS = {
         (r"PushedFilters: \[.*doc_id", "bench/corpus split pushed to the scan"),
         (r"LeftAnti", "semantic drop list anti-joined"),
     ],
+    "pipeline_training_mix_full": [
+        (r"BroadcastHashJoin", "eval-shingle set + semi joins broadcast"),
+        (r"PushedFilters: \[.*doc_id", "bench/corpus split pushed to the scan"),
+        (r"LeftAnti", "minhash + semantic drop lists anti-joined"),
+    ],
     "multimodal_neardup_frames": [
         (r"PartitionFilters: \[[^\]]*bucket", "frame-index scan pruned to probed buckets"),
         (r"TakeOrderedAndProject", "indexed top-k without global sort"),
@@ -182,7 +187,7 @@ def main() -> int:
                  "dedup_minhash_verified", "dedup_embedding_lsh", "ann_lsh_topk",
                  "dedup_minhash_cluster", "dedup_incremental", "ann_pq_topk",
                  "pipeline_training_mix_semantic", "multimodal_neardup_frames",
-                 "pipeline_lm_buckets", "dedup_cluster_histogram",
+                 "pipeline_lm_buckets", "dedup_cluster_histogram", "pipeline_training_mix_full",
                  "graph_pagerank", "text_dup_ngram_coverage",
                  "embedding_label_centroids", "text_winnow_fingerprints"]:
         plan = formatted(qs[name](spark, SF_DIR))

@@ -63,6 +63,7 @@ HEADLINE_QUERIES = [
     "pipeline_sample_mix",
     "pipeline_training_mix",
     "pipeline_training_mix_semantic",
+    "pipeline_training_mix_full",
     "sessionize_events",
     "dedup_embedding_lsh",
     "ann_dot_topk",

@@ -704,6 +704,32 @@ def _pipeline_training_mix_full(spark, sf):
     )
 
 
+EXEMPLARS_PER_SOURCE = 3
+
+
+def _pipeline_source_exemplars(spark, sf):
+    """Per-source exemplar docs: the top-3 by token count (ties to the
+    smaller doc_id — a total order, so the cut is deterministic), the
+    spot-check sample a corpus audit pulls per domain. Canonical grouped
+    top-k: one Window row_number over (source), output bounded at
+    3×|sources| — per-source skew is capped by the rank filter, and at
+    10^10 docs the window shuffle keys on source (the diagnostic runs on
+    the domain-stats frame's grain, not a global sort)."""
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id", "source", "lang",
+        F.size(textquality.tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= EXEMPLARS_PER_SOURCE)
+        .select("source", "rank", "doc_id", "lang", "n_tokens")
+    )
+
+
 SESSION_GAP_S = 3600
 
 
@@ -1221,20 +1247,21 @@ def _multimodal_neardup_frames(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's CORRECTNESS order, and the driver caps
     the record at 50 rows per round — so ordering is a rotation policy, not
-    cosmetic (see REGISTRY.md). Round 5 (79 entries): the seventeen NEW
+    cosmetic (see REGISTRY.md). Round 5 (80 entries): the eighteen NEW
     queries lead (bigram-LM fluency score, domain diagnostics rollup,
     near-dup cluster-size histogram, CCNet-style LM perplexity buckets,
     PII scrub, vocabulary top-k, duplicated-n-gram coverage, per-label
     embedding centroids, winnowing fingerprints, integer PageRank,
     robots sitemap extraction, three persisted-index ANN paths, the
     FULL corpus build (gate -> exact -> decon -> minhash keeper ->
-    SemDeDup -> sample -> PII scrub), the SemDeDup
+    SemDeDup -> sample -> PII scrub), per-source exemplar top-k, the
+    SemDeDup
     training mix, the multimodal near-dup-frames pipeline — never
     driver-checked), ann_pq_topk stays in-window because its oracle gained
     the dirty-row predicate this round (rule 3), the 12 queries whose r03
-    green rows go stale after this round rotate back in (rule 2), and 29
-    r04-green unchanged veterans rotate to tail positions 51-79
-    (g4_family_envelope, dedup_exact, dedup_ngram_jaccard,
+    green rows go stale after this round rotate back in (rule 2), and 30
+    r04-green unchanged veterans rotate to tail positions 51-80
+    (c9_json_extract, g4_family_envelope, dedup_exact, dedup_ngram_jaccard,
     dedup_minhash_lsh, pipeline_training_mix, dedup_incremental,
     dedup_embedding_pairs,
     text_quality, text_langid, text_keyword_topk, a7, a8 displaced this
@@ -1258,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_indexed": _ann_pq_indexed,
         "pipeline_training_mix_semantic": _pipeline_training_mix_semantic,
         "pipeline_training_mix_full": _pipeline_training_mix_full,
+        "pipeline_source_exemplars": _pipeline_source_exemplars,
         "multimodal_neardup_frames": _multimodal_neardup_frames,
         # changed round 5 (oracle s1 dirty-row predicate) -> stays in-window
         "ann_pq_topk": _ann_pq_topk,
@@ -1294,8 +1322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u3_except": _u3_except,
         "c1_extension_class": _c1_extension_class,
         "c4_hash": _c4_hash,
-        "c9_json_extract": _c9_json_extract,
         # -- tail (positions 51+): r04 green rows banked, unchanged round 5 -
+        "c9_json_extract": _c9_json_extract,
         "g4_family_envelope": _g4_family_envelope,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
@@ -2863,6 +2891,21 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_training_mix": _training_mix_sql(),
         "pipeline_training_mix_semantic": _training_mix_sql(semantic=True),
         "pipeline_training_mix_full": _training_mix_sql(full=True),
+        "pipeline_source_exemplars": f"""
+            WITH scored AS (
+                SELECT doc_id, source, lang,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            ranked AS (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY source ORDER BY n_tokens DESC, doc_id ASC
+                ) AS BIGINT) AS rank
+                FROM scored
+            )
+            SELECT source, rank, doc_id, lang, n_tokens
+            FROM ranked WHERE rank <= {EXEMPLARS_PER_SOURCE}
+        """,
         "pipeline_sample_mix": f"""
             SELECT doc_id, lang, source FROM documents
             WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':{SAMPLE_SALT}'), 1, 8))::BIGINT % 1000

@@ -366,6 +366,42 @@ def test_pii_scrub_counts_and_redacts(spark):
         assert got[d]["scrubbed_len"] == len(want_text[d]), d
 
 
+def test_source_exemplars_rank_and_tiebreak(spark):
+    """Grouped top-k: per source, top-3 by token count with ties broken by
+    smaller doc_id; groups smaller than k emit all members."""
+    import __spark_entry__ as entrymod
+
+    rows = [
+        (1, "a b c d e", "s1"),   # 5 tokens
+        (2, "a b c d e", "s1"),   # tie with 1 -> doc 1 ranks first
+        (3, "a b", "s1"),
+        (4, "a", "s1"),           # rank 4 -> cut
+        (5, "x y z", "s2"),       # lone doc in s2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    from pyspark.sql import functions as F
+
+    from crawler_service_spark.operators import textquality
+
+    scored = df.select(
+        "doc_id", "source", F.lit("en").alias("lang"),
+        F.size(textquality.tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    got = {
+        (r["source"], r["rank"]): r["doc_id"]
+        for r in scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= entrymod.EXEMPLARS_PER_SOURCE)
+        .collect()
+    }
+    assert got == {("s1", 1): 1, ("s1", 2): 2, ("s1", 3): 3, ("s2", 1): 5}
+
+
 def test_corpus_domain_stats_matches_python_reference(spark):
     import hashlib
     import re

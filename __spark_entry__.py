@@ -38,6 +38,7 @@ from crawler_service_spark.operators import (
     graph,
     grouping,
     multimodal,
+    packing,
     sampling,
     sessions,
     similarity,
@@ -57,6 +58,7 @@ DOT_TOPK, DOT_PAIR_THRESHOLD = 20, 450_000   # quantized-dot scale: 1e6 == cos 1
 EMB_DIM = 64                                 # embeddings.parquet vector length
 ANN_PLANES = 8                               # single-probe ANN bucket bits
 PAIR_PLANES, PAIR_BAND_BITS = 16, 2          # banded LSH for the pair query
+SEQ_LEN = 512                                # packed training-sequence length
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -822,6 +824,15 @@ def _text_dup_ngrams(spark, sf):
     return textquality.dup_ngram_coverage(_t(spark, sf, "documents"), n=5)
 
 
+def _pipeline_pack_sequences(spark, sf):
+    """Sequence packing: docs laid end-to-end in doc_id order, cut every
+    SEQ_LEN tokens; per-sequence doc/token/boundary rollup. The Spark plan
+    computes the global token prefix sum with a two-level distributed scan
+    (operators/packing.py) — the oracle's one-machine cumulative window is
+    the semantic twin, not the plan."""
+    return packing.pack_sequences(_t(spark, sf, "documents"), seq_len=SEQ_LEN)
+
+
 def _graph_pagerank(spark, sf):
     """Integer-millis PageRank (3 fixed iterations) over a deterministic
     doc-family link graph: member docs link to their family hub, hubs chain
@@ -1247,8 +1258,9 @@ def _multimodal_neardup_frames(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's CORRECTNESS order, and the driver caps
     the record at 50 rows per round — so ordering is a rotation policy, not
-    cosmetic (see REGISTRY.md). Round 5 (80 entries): the eighteen NEW
-    queries lead (bigram-LM fluency score, domain diagnostics rollup,
+    cosmetic (see REGISTRY.md). Round 5 (81 entries): the nineteen NEW
+    queries lead (training-sequence packing rollup,
+    bigram-LM fluency score, domain diagnostics rollup,
     near-dup cluster-size histogram, CCNet-style LM perplexity buckets,
     PII scrub, vocabulary top-k, duplicated-n-gram coverage, per-label
     embedding centroids, winnowing fingerprints, integer PageRank,
@@ -1259,14 +1271,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     training mix, the multimodal near-dup-frames pipeline — never
     driver-checked), ann_pq_topk stays in-window because its oracle gained
     the dirty-row predicate this round (rule 3), the 12 queries whose r03
-    green rows go stale after this round rotate back in (rule 2), and 30
-    r04-green unchanged veterans rotate to tail positions 51-80
+    green rows go stale after this round rotate back in (rule 2), and 31
+    r04-green unchanged veterans rotate to tail positions 51-81
     (c9_json_extract, g4_family_envelope, dedup_exact, dedup_ngram_jaccard,
     dedup_minhash_lsh, pipeline_training_mix, dedup_incremental,
     dedup_embedding_pairs,
     text_quality, text_langid, text_keyword_topk, a7, a8 displaced this
     round to make window room)."""
     return {
+        # -- new round 5, late session (packing / redirects / span scrub) ---
+        "pipeline_pack_sequences": _pipeline_pack_sequences,
         # -- new round 5 (corpus-quality LM score + diagnostics rollups) ----
         "text_lm_score": _text_lm_score,
         "pipeline_domain_stats": _pipeline_domain_stats,
@@ -1321,8 +1335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_union_distinct": _u1_union_distinct,
         "u3_except": _u3_except,
         "c1_extension_class": _c1_extension_class,
-        "c4_hash": _c4_hash,
         # -- tail (positions 51+): r04 green rows banked, unchanged round 5 -
+        "c4_hash": _c4_hash,
         "c9_json_extract": _c9_json_extract,
         "g4_family_envelope": _g4_family_envelope,
         "dedup_exact": _dedup_exact,
@@ -2276,6 +2290,39 @@ def oracle_sql() -> dict[str, str]:
         for w in textquality.LANG_MARKERS["en"]
     )
     return {
+        # Sequence packing: the oracle states the SEMANTICS (one cumulative
+        # window over doc_id order); the Spark side reaches the same numbers
+        # via the two-level distributed scan in operators/packing.py.
+        "pipeline_pack_sequences": f"""
+            WITH t AS (
+                SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM documents WHERE len({_TOKS}) > 0
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS st
+                FROM t
+            ),
+            e AS (
+                SELECT doc_id, n_tokens, st,
+                       (st + n_tokens - 1) // {SEQ_LEN} AS last_seq,
+                       u.s AS seq_id
+                FROM c, unnest(range(st // {SEQ_LEN},
+                                     (st + n_tokens - 1) // {SEQ_LEN} + 1)) AS u(s)
+            )
+            SELECT CAST(seq_id AS BIGINT) AS seq_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(least((seq_id + 1) * {SEQ_LEN}, st + n_tokens)
+                            - greatest(seq_id * {SEQ_LEN}, st)) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN seq_id = last_seq THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_ends,
+                   min(doc_id) AS first_doc_id,
+                   max(doc_id) AS last_doc_id
+            FROM e
+            GROUP BY seq_id
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,

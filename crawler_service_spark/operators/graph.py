@@ -231,3 +231,70 @@ def connected_components_star(
     return nodes.join(
         comp.select(F.col("a").alias("node"), "component"), on="node", how="left"
     ).select("node", F.coalesce("component", "node").alias("component"))
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    doubling_rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Resolve HTTP-redirect chains to their final targets — the URL
+    canonicalization pass a crawler runs before the seen-set check, so a
+    chain of 301s dedupes to one frontier entry (ref analogue: the reference
+    fetches through requests' follow-redirects and stores only the final
+    body, crawlers/globus_base_preserved.py fetch path; here the chain is
+    resolved set-wise over the whole frontier instead of per-request).
+
+    Input: one row per redirecting URL (``src`` -> ``dst``); URLs absent
+    from ``src`` are terminal. Output: one row per redirecting URL with
+    ``final_dst`` (the URL reached after following at most ``2**rounds``
+    hops), ``hops`` (chain length actually followed), and ``resolved``
+    (False = still pointing at a redirecting URL after the hop budget, i.e.
+    a redirect loop or an over-long chain — the crawler dead-letters these
+    exactly like the reference dead-letters over-long fetch chains).
+
+    Contract (what the DuckDB recursive-CTE twin states): follow edges for
+    at most ``2**doubling_rounds`` hops; report the URL reached and the hop
+    count. On a loop the walk is still well-defined — exactly the hop-budget
+    number of steps — so both engines land on the same node of the cycle.
+
+    Scale shape: pointer doubling — ``f_{k+1}(x) = f_k(f_k(x))`` — is one
+    self-equi-join on the (uniform) URL key per round, so a chain of length
+    m resolves in O(log m) joins, not m; each round's frame is
+    ``localCheckpoint``ed (O(1) lineage). Redirect graphs are
+    out-degree-1 by construction (one Location header per URL), so the
+    join fan-out is exactly |edges| per round; hot MERGE targets (many
+    srcs -> one dst) land on the build side and skew-split under AQE.
+    """
+    f = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.lit(1).cast("long").alias("hops"),
+    ).localCheckpoint()
+    for _ in range(int(doubling_rounds)):
+        nxt = f.select(
+            F.col("src").alias("j_src"),
+            F.col("dst").alias("j_dst"),
+            F.col("hops").alias("j_hops"),
+        )
+        f = (
+            f.join(nxt, f["dst"] == nxt["j_src"], "left")
+            .select(
+                "src",
+                F.coalesce("j_dst", "dst").alias("dst"),
+                (F.col("hops") + F.coalesce("j_hops", F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint()
+        )
+    still_redirecting = (
+        edges.select(F.col(src).alias("dst"))
+        .distinct()
+        .withColumn("is_redirector", F.lit(True))
+    )
+    return f.join(still_redirecting, "dst", "left").select(
+        "src",
+        F.col("dst").alias("final_dst"),
+        "hops",
+        F.coalesce(~F.col("is_redirector"), F.lit(True)).alias("resolved"),
+    )

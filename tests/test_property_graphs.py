@@ -211,3 +211,56 @@ def test_pagerank_millis_matches_python_twin(spark):
     # link-receiving nodes outrank pure sources (4 gets 3 in-links; 5 sits
     # downstream of the hub and has absorbed its mass by iteration 3)
     assert got[4] > got[1] and got[5] > got[4]
+
+
+def test_resolve_redirects_matches_python_walk(spark):
+    """Pointer doubling == a literal per-src Python walk on random
+    out-degree-1 redirect graphs (chains, trees-into-chains, cycles,
+    rho shapes), at multiple partitionings."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from crawler_service_spark.operators.graph import resolve_redirects
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        n = rng.randint(8, 40)
+        # each node < n redirects to a random node in [0, n+3): ids >= n are
+        # terminal by absence; random structure yields chains + cycles
+        edges = [(i, rng.randrange(n + 3)) for i in range(n) if rng.random() < 0.8]
+        srcs = {s for s, _ in edges}
+        nxt = dict(edges)
+        budget = 16
+
+        def walk(s):
+            cur, hops = nxt[s], 1
+            while hops < budget and cur in nxt:
+                cur, hops = nxt[cur], hops + 1
+            return (cur, hops, cur not in nxt)
+
+        expect = {s: walk(s) for s in srcs}
+        df = spark.createDataFrame(edges, "src long, dst long")
+        for probe in (df, df.repartition(7)):
+            got = {
+                r["src"]: (r["final_dst"], r["hops"], r["resolved"])
+                for r in resolve_redirects(probe, doubling_rounds=4).collect()
+            }
+            assert got == expect, f"trial {trial}"
+
+
+def test_resolve_redirects_hop_budget_boundary(spark):
+    """A 16-hop chain resolves exactly at the budget; a 17-hop chain is
+    reported unresolved at 16 hops; a self-loop never resolves."""
+    from crawler_service_spark.operators.graph import resolve_redirects
+
+    chain16 = [(i, i + 1) for i in range(16)]          # 0..15 -> 16 terminal
+    chain17 = [(100 + i, 100 + i + 1) for i in range(17)]
+    edges = chain16 + chain17 + [(999, 999)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["src"]: (r["final_dst"], r["hops"], r["resolved"])
+        for r in resolve_redirects(df, doubling_rounds=4).collect()
+    }
+    assert got[0] == (16, 16, True)
+    assert got[100] == (116, 16, False)
+    assert got[101] == (117, 16, True)
+    assert got[999] == (999, 16, False)

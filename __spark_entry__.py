@@ -826,6 +826,14 @@ def _text_dup_ngrams(spark, sf):
     return textquality.dup_ngram_coverage(_t(spark, sf, "documents"), n=5)
 
 
+def _text_dup_span_scrub(spark, sf):
+    """ExactSubstr-style removal: scrub every token position covered by a
+    word 5-gram that also appears in another doc; per-doc retention plus
+    the md5 of the scrubbed text. Transform twin of the
+    text_dup_ngram_coverage census."""
+    return textquality.dup_span_scrub(_t(spark, sf, "documents"), n=5)
+
+
 def _pipeline_pack_sequences(spark, sf):
     """Sequence packing: docs laid end-to-end in doc_id order, cut every
     SEQ_LEN tokens; per-sequence doc/token/boundary rollup. The Spark plan
@@ -1282,9 +1290,9 @@ def _multimodal_neardup_frames(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's CORRECTNESS order, and the driver caps
     the record at 50 rows per round — so ordering is a rotation policy, not
-    cosmetic (see REGISTRY.md). Round 5 (82 entries): the twenty NEW
+    cosmetic (see REGISTRY.md). Round 5 (83 entries): the twenty-one NEW
     queries lead (training-sequence packing rollup, redirect-chain
-    resolution, bigram-LM fluency score, domain diagnostics rollup,
+    resolution, duplicated-span scrub, bigram-LM fluency score, domain diagnostics rollup,
     near-dup cluster-size histogram, CCNet-style LM perplexity buckets,
     PII scrub, vocabulary top-k, duplicated-n-gram coverage, per-label
     embedding centroids, winnowing fingerprints, integer PageRank,
@@ -1295,8 +1303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     training mix, the multimodal near-dup-frames pipeline — never
     driver-checked), ann_pq_topk stays in-window because its oracle gained
     the dirty-row predicate this round (rule 3), the 12 queries whose r03
-    green rows go stale after this round rotate back in (rule 2), and 32
-    r04-green unchanged veterans rotate to tail positions 51-82
+    green rows go stale after this round rotate back in (rule 2), and 33
+    r04-green unchanged veterans rotate to tail positions 51-83
     (c9_json_extract, g4_family_envelope, dedup_exact, dedup_ngram_jaccard,
     dedup_minhash_lsh, pipeline_training_mix, dedup_incremental,
     dedup_embedding_pairs,
@@ -1306,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new round 5, late session (packing / redirects / span scrub) ---
         "pipeline_pack_sequences": _pipeline_pack_sequences,
         "crawl_redirect_resolve": _crawl_redirect_resolve,
+        "text_dup_span_scrub": _text_dup_span_scrub,
         # -- new round 5 (corpus-quality LM score + diagnostics rollups) ----
         "text_lm_score": _text_lm_score,
         "pipeline_domain_stats": _pipeline_domain_stats,
@@ -1358,8 +1367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_families_grouped": _g2_families_grouped,
         "l1_topk": _l1_topk,
         "u1_union_distinct": _u1_union_distinct,
-        "u3_except": _u3_except,
         # -- tail (positions 51+): r04 green rows banked, unchanged round 5 -
+        "u3_except": _u3_except,
         "c1_extension_class": _c1_extension_class,
         "c4_hash": _c4_hash,
         "c9_json_extract": _c9_json_extract,
@@ -2347,6 +2356,40 @@ def oracle_sql() -> dict[str, str]:
                    max(doc_id) AS last_doc_id
             FROM e
             GROUP BY seq_id
+        """,
+        # ExactSubstr-style span scrub: a token position is removed iff some
+        # 5-gram covering it has corpus doc-frequency > 1. string_agg skips
+        # NULL tokens (matching Spark's collect_list), and COALESCE('')
+        # matches concat_ws over an empty kept array for fully-scrubbed docs.
+        "text_dup_span_scrub": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS t FROM documents WHERE len({_TOKS}) >= 1
+            ),
+            g AS (
+                SELECT doc_id, u.i AS i, array_to_string(t[u.i:u.i+4], ' ') AS ngram
+                FROM t, unnest(range(1, len(t) - 3)) AS u(i)
+                WHERE len(t) >= 5
+            ),
+            dfc AS (
+                SELECT ngram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1
+            ),
+            cov AS (
+                SELECT DISTINCT g.doc_id, p.pos
+                FROM g JOIN dfc USING (ngram), unnest(range(g.i, g.i + 5)) AS p(pos)
+                WHERE dfc.df > 1
+            ),
+            tok AS (
+                SELECT doc_id, u.i AS pos, t[u.i] AS token
+                FROM t, unnest(range(1, len(t) + 1)) AS u(i)
+            )
+            SELECT tok.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN cov.pos IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST((1000 * sum(CASE WHEN cov.pos IS NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS kept_permille,
+                   md5(COALESCE(string_agg(CASE WHEN cov.pos IS NULL THEN tok.token END,
+                                           ' ' ORDER BY tok.pos), '')) AS scrubbed_md5
+            FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+            GROUP BY tok.doc_id
         """,
         # Redirect resolution: the oracle walks the chain one hop at a time
         # (recursive CTE, 16-hop budget); Spark reaches the same

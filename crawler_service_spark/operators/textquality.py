@@ -532,6 +532,92 @@ def dup_ngram_coverage(
     )
 
 
+def dup_span_scrub(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove corpus-duplicated token spans from every document — the
+    transform counterpart of ``dup_ngram_coverage``'s census, i.e. the
+    ExactSubstr-class dedup step (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): a token position is scrubbed iff it is
+    covered by at least one word n-gram that also appears in another doc.
+    Overlapping duplicated n-grams merge naturally (position-set union), so
+    a long shared passage is removed once, end to end. Docs shorter than
+    ``n`` tokens have no n-grams and are kept whole.
+
+    Output per doc: token counts before/after, kept permille, and the md5
+    of the scrubbed text (kept tokens joined in original order; md5('')
+    for fully-boilerplate docs).
+
+    Scale shape: n-gram doc-frequency is one map-side-combinable shuffle on
+    the n-gram; duplicated positions fan out n rows per DUPLICATED n-gram
+    occurrence only (the census path stays 1 row per distinct gram); the
+    position-set union is a DISTINCT on the uniform (doc, pos) key; the
+    final verdict is one (doc, pos)-keyed join of the token stream against
+    the covered set and one rollup shuffle on doc_id. Everything is linear
+    in corpus size — no pairwise joins; a white-hot boilerplate n-gram
+    costs its occurrence count times n, not occurrences squared.
+    """
+    toks = (
+        widen(docs)
+        .select(F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("t"))
+        .filter(F.size("t") >= 1)
+    )
+    m = F.size("t") - (n - 1)
+    grams = toks.filter(F.size("t") >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.array_join(F.slice("t", i, n), " "),
+            )
+        ).alias("p0", "ngram"),
+    ).select("doc_id", (F.col("p0") + 1).alias("i"), "ngram")
+    df_counts = (
+        grams.select("doc_id", "ngram")
+        .distinct()
+        .groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    covered = (
+        grams.join(df_counts.filter(F.col("df") > 1), "ngram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("pos"),
+        )
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    tok_stream = toks.select(
+        "doc_id", F.posexplode("t").alias("p0", "token")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "token")
+    kept_struct = F.when(
+        F.col("is_dup").isNull(), F.struct("pos", "token")
+    )
+    return (
+        tok_stream.join(covered, ["doc_id", "pos"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_sort(F.collect_list(kept_struct)).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_kept",
+            F.expr("div(1000 * n_kept, n_tokens)").alias("kept_permille"),
+            F.md5(
+                F.concat_ws(" ", F.transform(F.col("kept"), lambda s: s["token"]))
+            ).alias("scrubbed_md5"),
+        )
+    )
+
+
 # PII patterns restricted to the regex subset Java (Spark) and RE2 (DuckDB)
 # interpret identically: character classes, bounded/unbounded repeats, \b —
 # no lookaround, no backreferences. Scrub ORDER matters (emails first so the

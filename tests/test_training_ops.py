@@ -445,3 +445,61 @@ def test_pq_codebook_vectors_reconstruct_exactly(spark, planted_embeddings):
     # vec 300 is the planted near-dup of vec 0; with per-subspace cells this
     # coarse it should share most codes and surface in the top-k
     assert 300 in rows
+
+
+def test_dup_span_scrub_crafted(spark):
+    """ExactSubstr-style span removal on a crafted corpus: a shared 6-token
+    passage (two overlapping dup 5-grams) is scrubbed end-to-end from both
+    docs, unique text survives, short docs pass through whole, and a
+    fully-boilerplate doc scrubs to md5('')."""
+    import hashlib
+
+    from crawler_service_spark.operators.textquality import dup_span_scrub
+
+    shared = "alpha beta gamma delta epsilon zeta"          # 6 tokens
+    docs = [
+        (0, f"one two three {shared} four five six"),        # 12 tokens
+        (1, f"{shared} seven eight nine ten"),               # 10 tokens
+        (2, "lonely short doc"),                             # < n, kept whole
+        (3, shared),                                         # fully boilerplate
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dup_span_scrub(df, n=5).collect()}
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert (got[0]["n_tokens"], got[0]["n_kept"]) == (12, 6)
+    assert got[0]["scrubbed_md5"] == md5("one two three four five six")
+    assert (got[1]["n_tokens"], got[1]["n_kept"]) == (10, 4)
+    assert got[1]["scrubbed_md5"] == md5("seven eight nine ten")
+    assert (got[2]["n_tokens"], got[2]["n_kept"]) == (3, 3)
+    assert got[2]["scrubbed_md5"] == md5("lonely short doc")
+    assert (got[3]["n_tokens"], got[3]["n_kept"]) == (6, 0)
+    assert got[3]["kept_permille"] == 0
+    assert got[3]["scrubbed_md5"] == md5("")
+    # repartitioning must not change a single byte
+    again = {r["doc_id"]: r for r in dup_span_scrub(df.repartition(7), n=5).collect()}
+    assert {k: tuple(v) for k, v in got.items()} == {k: tuple(v) for k, v in again.items()}
+
+
+def test_dup_span_scrub_consistent_with_coverage_census(spark):
+    """A doc's scrubbed token count can never exceed what the coverage
+    census says is unique; a doc with zero duplicated n-grams keeps all."""
+    from crawler_service_spark.operators.textquality import (
+        dup_ngram_coverage,
+        dup_span_scrub,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i * 17 + j) % 29}" for j in range(20)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cov = {r["doc_id"]: r for r in dup_ngram_coverage(df, n=5).collect()}
+    scrub = {r["doc_id"]: r for r in dup_span_scrub(df, n=5).collect()}
+    for d, s in scrub.items():
+        if d in cov and cov[d]["n_dup_ngrams"] == 0:
+            assert s["n_kept"] == s["n_tokens"]
+        if d in cov and cov[d]["n_dup_ngrams"] > 0:
+            assert s["n_kept"] < s["n_tokens"]

@@ -59,6 +59,9 @@ HEADLINE_QUERIES = [
     "text_pii_scrub",
     "text_vocab_topk",
     "text_dup_ngram_coverage",
+    "text_dup_span_scrub",
+    "pipeline_pack_sequences",
+    "crawl_redirect_resolve",
     "graph_pagerank",
     "pipeline_sample_mix",
     "pipeline_training_mix",

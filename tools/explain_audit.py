@@ -101,6 +101,15 @@ CLAIMS = {
         # distribution frame — never a corpus-scale ntile sort
         (r"BroadcastHashJoin", "per-lang cutoffs broadcast back to the corpus"),
     ],
+    "pipeline_pack_sequences": [
+        # two-level scan: the bounded bucket-base frame joins back as a
+        # broadcast; the corpus-side window is PARTITION BY bucket (parallel)
+        (r"BroadcastHashJoin", "bucket base offsets broadcast back to the corpus"),
+        (r"Window", "per-bucket prefix window present"),
+    ],
+    "text_dup_span_scrub": [
+        (r"HashAggregate", "n-gram doc-frequency aggregates map-side"),
+    ],
 }
 
 
@@ -189,7 +198,9 @@ def main() -> int:
                  "pipeline_training_mix_semantic", "multimodal_neardup_frames",
                  "pipeline_lm_buckets", "dedup_cluster_histogram", "pipeline_training_mix_full",
                  "graph_pagerank", "text_dup_ngram_coverage",
-                 "embedding_label_centroids", "text_winnow_fingerprints"]:
+                 "embedding_label_centroids", "text_winnow_fingerprints",
+                 "pipeline_pack_sequences", "crawl_redirect_resolve",
+                 "text_dup_span_scrub"]:
         plan = formatted(qs[name](spark, SF_DIR))
         if "CartesianProduct" in plan:
             failures.append((name, "unexpected cartesian product"))

@@ -39,6 +39,7 @@ from crawler_service_spark.operators import (
     grouping,
     multimodal,
     packing,
+    recrawl,
     sampling,
     sessions,
     similarity,
@@ -834,6 +835,21 @@ def _text_dup_span_scrub(spark, sf):
     return textquality.dup_span_scrub(_t(spark, sf, "documents"), n=5)
 
 
+def _crawl_recrawl_schedule(spark, sf):
+    """Freshness loop: per-URL change-rate estimate from the fetch-
+    observation history (events: user_id = URL key, event_type = content
+    signature, ties broken by event_id) and the booked next-fetch time
+    through the fixed tier map. One user_id shuffle shared by the lag
+    window and the rollup."""
+    return recrawl.recrawl_schedule(
+        _t(spark, sf, "events"),
+        url_col="user_id",
+        ts_col="ts",
+        sig_col="event_type",
+        order_col="event_id",
+    )
+
+
 def _pipeline_pack_sequences(spark, sf):
     """Sequence packing: docs laid end-to-end in doc_id order, cut every
     SEQ_LEN tokens; per-sequence doc/token/boundary rollup. The Spark plan
@@ -1290,9 +1306,9 @@ def _multimodal_neardup_frames(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's CORRECTNESS order, and the driver caps
     the record at 50 rows per round — so ordering is a rotation policy, not
-    cosmetic (see REGISTRY.md). Round 5 (83 entries): the twenty-one NEW
+    cosmetic (see REGISTRY.md). Round 5 (84 entries): the twenty-two NEW
     queries lead (training-sequence packing rollup, redirect-chain
-    resolution, duplicated-span scrub, bigram-LM fluency score, domain diagnostics rollup,
+    resolution, duplicated-span scrub, recrawl scheduling, bigram-LM fluency score, domain diagnostics rollup,
     near-dup cluster-size histogram, CCNet-style LM perplexity buckets,
     PII scrub, vocabulary top-k, duplicated-n-gram coverage, per-label
     embedding centroids, winnowing fingerprints, integer PageRank,
@@ -1303,8 +1319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     training mix, the multimodal near-dup-frames pipeline — never
     driver-checked), ann_pq_topk stays in-window because its oracle gained
     the dirty-row predicate this round (rule 3), the 12 queries whose r03
-    green rows go stale after this round rotate back in (rule 2), and 33
-    r04-green unchanged veterans rotate to tail positions 51-83
+    green rows go stale after this round rotate back in (rule 2), and 34
+    r04-green unchanged veterans rotate to tail positions 51-84
     (c9_json_extract, g4_family_envelope, dedup_exact, dedup_ngram_jaccard,
     dedup_minhash_lsh, pipeline_training_mix, dedup_incremental,
     dedup_embedding_pairs,
@@ -1315,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pack_sequences": _pipeline_pack_sequences,
         "crawl_redirect_resolve": _crawl_redirect_resolve,
         "text_dup_span_scrub": _text_dup_span_scrub,
+        "crawl_recrawl_schedule": _crawl_recrawl_schedule,
         # -- new round 5 (corpus-quality LM score + diagnostics rollups) ----
         "text_lm_score": _text_lm_score,
         "pipeline_domain_stats": _pipeline_domain_stats,
@@ -1366,8 +1383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u4_frontier_merge": _u4_frontier_merge,
         "g2_families_grouped": _g2_families_grouped,
         "l1_topk": _l1_topk,
-        "u1_union_distinct": _u1_union_distinct,
         # -- tail (positions 51+): r04 green rows banked, unchanged round 5 -
+        "u1_union_distinct": _u1_union_distinct,
         "u3_except": _u3_except,
         "c1_extension_class": _c1_extension_class,
         "c4_hash": _c4_hash,
@@ -2356,6 +2373,49 @@ def oracle_sql() -> dict[str, str]:
                    max(doc_id) AS last_doc_id
             FROM e
             GROUP BY seq_id
+        """,
+        # Recrawl scheduling: change = event_type differs from the previous
+        # observation (lag over (t, event_id)); rate in permille of adjacent
+        # pairs; fixed tier CASE books the revisit interval.
+        "crawl_recrawl_schedule": """
+            WITH e AS (
+                SELECT user_id AS url_id, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                       event_type AS sig
+                FROM events
+            ),
+            lagged AS (
+                SELECT url_id, t,
+                       CASE WHEN lag(sig) OVER w IS NOT NULL
+                                 AND sig <> lag(sig) OVER w
+                            THEN 1 ELSE 0 END AS chg
+                FROM e
+                WINDOW w AS (PARTITION BY url_id ORDER BY t, event_id)
+            ),
+            agg AS (
+                SELECT url_id,
+                       CAST(count(*) AS BIGINT) AS n_obs,
+                       CAST(sum(chg) AS BIGINT) AS n_changes,
+                       max(t) AS last_t
+                FROM lagged GROUP BY url_id
+            ),
+            rated AS (
+                SELECT url_id, n_obs, n_changes, last_t,
+                       CAST(CASE WHEN n_obs > 1
+                                 THEN (1000 * n_changes) // (n_obs - 1)
+                                 ELSE 0 END AS BIGINT) AS change_permille
+                FROM agg
+            )
+            SELECT url_id, n_obs, n_changes, change_permille,
+                   CAST(CASE WHEN change_permille >= 800 THEN 3600
+                             WHEN change_permille >= 400 THEN 86400
+                             WHEN change_permille >= 100 THEN 604800
+                             ELSE 2592000 END AS BIGINT) AS revisit_s,
+                   CAST(last_t + CASE WHEN change_permille >= 800 THEN 3600
+                                      WHEN change_permille >= 400 THEN 86400
+                                      WHEN change_permille >= 100 THEN 604800
+                                      ELSE 2592000 END AS BIGINT) AS next_fetch_epoch_s
+            FROM rated
         """,
         # ExactSubstr-style span scrub: a token position is removed iff some
         # 5-gram covering it has corpus doc-frequency > 1. string_agg skips

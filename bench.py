@@ -62,6 +62,7 @@ HEADLINE_QUERIES = [
     "text_dup_span_scrub",
     "pipeline_pack_sequences",
     "crawl_redirect_resolve",
+    "crawl_recrawl_schedule",
     "graph_pagerank",
     "pipeline_sample_mix",
     "pipeline_training_mix",

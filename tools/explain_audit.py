@@ -110,6 +110,9 @@ CLAIMS = {
     "text_dup_span_scrub": [
         (r"HashAggregate", "n-gram doc-frequency aggregates map-side"),
     ],
+    "crawl_recrawl_schedule": [
+        (r"Window", "lag window over the url key"),
+    ],
 }
 
 
@@ -200,7 +203,7 @@ def main() -> int:
                  "graph_pagerank", "text_dup_ngram_coverage",
                  "embedding_label_centroids", "text_winnow_fingerprints",
                  "pipeline_pack_sequences", "crawl_redirect_resolve",
-                 "text_dup_span_scrub"]:
+                 "text_dup_span_scrub", "crawl_recrawl_schedule"]:
         plan = formatted(qs[name](spark, SF_DIR))
         if "CartesianProduct" in plan:
             failures.append((name, "unexpected cartesian product"))

@@ -835,6 +835,14 @@ def _text_dup_span_scrub(spark, sf):
     return textquality.dup_span_scrub(_t(spark, sf, "documents"), n=5)
 
 
+def _text_nb_classify(spark, sf):
+    """Integer NB-style classifier trained on the corpus's own (text, lang)
+    rows and applied back to every doc: argmax label + threshold margin.
+    Sparse vocab-bounded model, analytic zero-count evidence — no dense
+    vocab x labels frame."""
+    return textquality.nb_classify(_t(spark, sf, "documents"), label_col="lang")
+
+
 def _crawl_recrawl_schedule(spark, sf):
     """Freshness loop: per-URL change-rate estimate from the fetch-
     observation history (events: user_id = URL key, event_type = content
@@ -1306,9 +1314,10 @@ def _multimodal_neardup_frames(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's CORRECTNESS order, and the driver caps
     the record at 50 rows per round — so ordering is a rotation policy, not
-    cosmetic (see REGISTRY.md). Round 5 (84 entries): the twenty-two NEW
+    cosmetic (see REGISTRY.md). Round 5 (85 entries): the twenty-three NEW
     queries lead (training-sequence packing rollup, redirect-chain
-    resolution, duplicated-span scrub, recrawl scheduling, bigram-LM fluency score, domain diagnostics rollup,
+    resolution, duplicated-span scrub, recrawl scheduling, integer
+    Naive-Bayes classifier, bigram-LM fluency score, domain diagnostics rollup,
     near-dup cluster-size histogram, CCNet-style LM perplexity buckets,
     PII scrub, vocabulary top-k, duplicated-n-gram coverage, per-label
     embedding centroids, winnowing fingerprints, integer PageRank,
@@ -1319,8 +1328,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     training mix, the multimodal near-dup-frames pipeline — never
     driver-checked), ann_pq_topk stays in-window because its oracle gained
     the dirty-row predicate this round (rule 3), the 12 queries whose r03
-    green rows go stale after this round rotate back in (rule 2), and 34
-    r04-green unchanged veterans rotate to tail positions 51-84
+    green rows go stale after this round rotate back in (rule 2), and 35
+    r04-green unchanged veterans rotate to tail positions 51-85
+    (l1_topk displaced from the standing window when text_nb_classify
+    landed,
     (c9_json_extract, g4_family_envelope, dedup_exact, dedup_ngram_jaccard,
     dedup_minhash_lsh, pipeline_training_mix, dedup_incremental,
     dedup_embedding_pairs,
@@ -1332,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_redirect_resolve": _crawl_redirect_resolve,
         "text_dup_span_scrub": _text_dup_span_scrub,
         "crawl_recrawl_schedule": _crawl_recrawl_schedule,
+        "text_nb_classify": _text_nb_classify,
         # -- new round 5 (corpus-quality LM score + diagnostics rollups) ----
         "text_lm_score": _text_lm_score,
         "pipeline_domain_stats": _pipeline_domain_stats,
@@ -2373,6 +2385,67 @@ def oracle_sql() -> dict[str, str]:
                    max(doc_id) AS last_doc_id
             FROM e
             GROUP BY seq_id
+        """,
+        # Integer NB-style classifier: additive Laplace-smoothed evidence in
+        # micros; unseen-under-label tokens contribute the analytic
+        # zero-count weight, argmax tie-broken by label ASC.
+        "text_nb_classify": f"""
+            WITH t AS (
+                SELECT doc_id, lang AS label, {_TOKS} AS t
+                FROM documents WHERE len({_TOKS}) > 0
+            ),
+            ts AS (SELECT doc_id, label, unnest(t) AS token FROM t),
+            tl AS (
+                SELECT token, label AS l, CAST(count(*) AS BIGINT) AS c_tl
+                FROM ts GROUP BY 1, 2
+            ),
+            ltot AS (
+                SELECT l, CAST(sum(c_tl) AS BIGINT) AS c_l FROM tl GROUP BY 1
+            ),
+            voc AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM tl),
+            pri AS (
+                SELECT label AS l, CAST(count(*) AS BIGINT) AS docs_l
+                FROM t GROUP BY 1
+            ),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS docs_all FROM t),
+            lc AS (
+                SELECT ltot.l,
+                       CAST({textquality.NB_SCALE} // (c_l + v) AS BIGINT) AS w0,
+                       CAST(({textquality.NB_SCALE} * docs_l) // docs_all AS BIGINT) AS prior,
+                       (c_l + v) AS denom
+                FROM ltot JOIN pri ON ltot.l = pri.l, voc, tot
+            ),
+            wts AS (
+                SELECT token, tl.l,
+                       CAST(({textquality.NB_SCALE} * (c_tl + 1)) // denom AS BIGINT) AS w
+                FROM tl JOIN lc ON tl.l = lc.l
+            ),
+            m AS (
+                SELECT ts.doc_id, wts.l,
+                       CAST(sum(w) AS BIGINT) AS w_sum,
+                       CAST(count(*) AS BIGINT) AS n_matched
+                FROM ts JOIN wts USING (token) GROUP BY 1, 2
+            ),
+            dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM t),
+            sc AS (
+                SELECT dl.doc_id, lc.l,
+                       COALESCE(w_sum, 0)
+                       + (n_tokens - COALESCE(n_matched, 0)) * w0
+                       + prior AS score
+                FROM dl CROSS JOIN lc
+                LEFT JOIN m ON m.doc_id = dl.doc_id AND m.l = lc.l
+            ),
+            r AS (
+                SELECT doc_id, l, score,
+                       row_number() OVER w AS rn,
+                       lead(score) OVER w AS runner
+                FROM sc
+                WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, l ASC)
+            )
+            SELECT doc_id, l AS pred_label,
+                   CAST(score AS BIGINT) AS score_micros,
+                   CAST(score - COALESCE(runner, score) AS BIGINT) AS margin_micros
+            FROM r WHERE rn = 1
         """,
         # Recrawl scheduling: change = event_type differs from the previous
         # observation (lag over (t, event_id)); rate in permille of adjacent

@@ -618,6 +618,125 @@ def dup_span_scrub(
     )
 
 
+NB_SCALE = 1_000_000  # per-token evidence weights in micros
+
+
+def nb_classify(
+    docs: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Integer Naive-Bayes-style classifier trained on the corpus itself —
+    the shape of CCNet's fastText language-ID / the GPT-3 quality
+    classifier: learn per-(token, label) evidence from labeled rows, score
+    every doc, emit the argmax label with a margin for threshold-gating.
+    Additive integer evidence (Laplace-smoothed conditional frequency in
+    micros, truncating div) rather than log-probabilities, so the DuckDB
+    twin is bit-exact — the decision boundary is the same family, the
+    arithmetic is reproducible.
+
+    Per token t and label l: ``w(t,l) = div(NB_SCALE*(c(t,l)+1), c(l)+V)``
+    (c = token occurrences under the label, V = vocab size); a doc's score
+    under l sums w over its tokens plus the label prior
+    ``div(NB_SCALE*docs_l, docs)``. Tokens unseen under l contribute the
+    label's zero-count weight ``w0(l) = div(NB_SCALE, c(l)+V)``.
+
+    Scale shape: the trained model is the SPARSE (token, label, w) frame —
+    vocab-bounded, never corpus-bounded; zero-count evidence is added
+    analytically as ``(n_tokens - matched) * w0(l)`` so no dense
+    vocab × labels cross join ever materializes. Scoring is one join of the
+    exploded token stream against the weight frame on the (uniform) token
+    key, one (doc, label) rollup, a tiny broadcast of the per-label
+    constants, and an argmax window partitioned by doc — all shuffles keyed
+    on doc or token, linear end-to-end.
+    """
+    from pyspark.sql.window import Window
+
+    toks = (
+        widen(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(label_col).alias("label"),
+            tokens_col(F.col(text_col)).alias("t"),
+        )
+        .filter(F.size("t") > 0)
+    )
+    tok_stream = toks.select(
+        "doc_id", "label", F.explode("t").alias("token")
+    )
+    # model: sparse (token, label) counts, per-label token totals, vocab size
+    tl = tok_stream.groupBy("token", F.col("label").alias("l")).agg(
+        F.count("*").cast("long").alias("c_tl")
+    )
+    l_tot = tl.groupBy("l").agg(F.sum("c_tl").cast("long").alias("c_l"))
+    vocab = tl.select("token").distinct().agg(
+        F.count("*").cast("long").alias("v")
+    )
+    priors = (
+        toks.groupBy(F.col("label").alias("l"))
+        .agg(F.count("*").cast("long").alias("docs_l"))
+        .join(F.broadcast(toks.agg(F.count("*").cast("long").alias("docs_all"))))
+    )
+    label_consts = (
+        l_tot.join(F.broadcast(vocab))
+        .join(priors, "l")
+        .select(
+            "l",
+            F.expr(f"div({NB_SCALE}, c_l + v)").alias("w0"),
+            F.expr(f"div({NB_SCALE} * docs_l, docs_all)").alias("prior"),
+            (F.col("c_l") + F.col("v")).alias("denom"),
+        )
+    )
+    weights = tl.join(F.broadcast(label_consts.select("l", "denom")), "l").select(
+        "token",
+        "l",
+        F.expr(f"div({NB_SCALE} * (c_tl + 1), denom)").alias("w"),
+    )
+    # matched evidence per (doc, candidate label)
+    matched = (
+        tok_stream.join(weights, "token")
+        .groupBy("doc_id", "l")
+        .agg(
+            F.sum("w").cast("long").alias("w_sum"),
+            F.count("*").cast("long").alias("n_matched"),
+        )
+    )
+    doc_len = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    scored = (
+        doc_len.join(F.broadcast(label_consts.select("l", "w0", "prior")))
+        .join(matched, ["doc_id", "l"], "left")
+        .select(
+            "doc_id",
+            "l",
+            (
+                F.coalesce(F.col("w_sum"), F.lit(0))
+                + (F.col("n_tokens") - F.coalesce(F.col("n_matched"), F.lit(0)))
+                * F.col("w0")
+                + F.col("prior")
+            ).alias("score_micros"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micros").desc(), F.col("l").asc()
+    )
+    ranked = scored.select(
+        "doc_id",
+        "l",
+        "score_micros",
+        F.row_number().over(w).alias("rn"),
+        F.lead("score_micros").over(w).alias("runner_up"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("l").alias("pred_label"),
+        F.col("score_micros").cast("long").alias("score_micros"),
+        (F.col("score_micros") - F.coalesce("runner_up", "score_micros"))
+        .cast("long")
+        .alias("margin_micros"),
+    )
+
+
 # PII patterns restricted to the regex subset Java (Spark) and RE2 (DuckDB)
 # interpret identically: character classes, bounded/unbounded repeats, \b —
 # no lookaround, no backreferences. Scrub ORDER matters (emails first so the

@@ -503,3 +503,55 @@ def test_dup_span_scrub_consistent_with_coverage_census(spark):
             assert s["n_kept"] == s["n_tokens"]
         if d in cov and cov[d]["n_dup_ngrams"] > 0:
             assert s["n_kept"] < s["n_tokens"]
+
+
+def test_nb_classify_matches_integer_python_twin(spark):
+    """Integer NB-style scorer: predictions and scores equal a literal
+    Python implementation of the micros formula on a corpus with real
+    class signal; argmax ties break to the smaller label."""
+    from crawler_service_spark.operators.textquality import NB_SCALE, nb_classify
+
+    docs = [
+        (0, "en", "apple banana apple cherry"),
+        (1, "en", "banana banana cherry apple"),
+        (2, "de", "auto tur fenster auto"),
+        (3, "de", "fenster auto tur tur"),
+        (4, "en", "apple auto banana tur"),     # mixed evidence
+        (5, "de", "cherry fenster"),            # cross-label tokens
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+
+    # python twin of the exact integer contract
+    toks = {d: t.split() for d, _, t in docs}
+    labels = sorted({l for _, l, _ in docs})
+    c_tl: dict = {}
+    c_l: dict = {l: 0 for l in labels}
+    docs_l = {l: 0 for l in labels}
+    for d, l, _ in docs:
+        docs_l[l] += 1
+        for t in toks[d]:
+            c_tl[(t, l)] = c_tl.get((t, l), 0) + 1
+            c_l[l] += 1
+    vocab = len({t for t, _ in c_tl})
+    expect = {}
+    for d, _, _ in docs:
+        scores = {}
+        for l in labels:
+            denom = c_l[l] + vocab
+            s = (NB_SCALE * docs_l[l]) // len(docs)
+            for t in toks[d]:
+                s += (NB_SCALE * (c_tl.get((t, l), 0) + 1)) // denom
+            scores[l] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        margin = ranked[0][1] - (ranked[1][1] if len(ranked) > 1 else ranked[0][1])
+        expect[d] = (ranked[0][0], ranked[0][1], margin)
+
+    for probe in (df, df.repartition(5)):
+        got = {
+            r["doc_id"]: (r["pred_label"], r["score_micros"], r["margin_micros"])
+            for r in nb_classify(probe, label_col="lang").collect()
+        }
+        assert got == expect
+    # the crafted signal must actually be recovered
+    assert got[0][0] == "en" and got[2][0] == "de" and got[3][0] == "de"
+    assert all(got[d][2] >= 0 for d in got)

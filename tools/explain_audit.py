@@ -113,6 +113,12 @@ CLAIMS = {
     "crawl_recrawl_schedule": [
         (r"Window", "lag window over the url key"),
     ],
+    "text_nb_classify": [
+        # the per-label constants frame (|labels| rows) broadcasts back to
+        # the corpus; the only Window is the per-doc argmax
+        (r"BroadcastHashJoin|BroadcastNestedLoopJoin", "label-constants frame broadcast"),
+        (r"Window", "per-doc argmax window"),
+    ],
 }
 
 

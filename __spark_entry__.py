@@ -843,6 +843,13 @@ def _text_nb_classify(spark, sf):
     return textquality.nb_classify(_t(spark, sf, "documents"), label_col="lang")
 
 
+def _text_tfidf_topk(spark, sf):
+    """Per-doc top-5 salient terms by integer tf·idf (log-free Robertson
+    idf surrogate): the keyword/doc-tagging table. tf⋈idf joins on the
+    token key (vocab is corpus-scale, never broadcast); only N broadcasts."""
+    return textquality.tfidf_topk(_t(spark, sf, "documents"), k=5)
+
+
 def _crawl_recrawl_schedule(spark, sf):
     """Freshness loop: per-URL change-rate estimate from the fetch-
     observation history (events: user_id = URL key, event_type = content
@@ -1314,10 +1321,11 @@ def _multimodal_neardup_frames(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's CORRECTNESS order, and the driver caps
     the record at 50 rows per round — so ordering is a rotation policy, not
-    cosmetic (see REGISTRY.md). Round 5 (85 entries): the twenty-three NEW
+    cosmetic (see REGISTRY.md). Round 5 (86 entries): the twenty-four NEW
     queries lead (training-sequence packing rollup, redirect-chain
     resolution, duplicated-span scrub, recrawl scheduling, integer
-    Naive-Bayes classifier, bigram-LM fluency score, domain diagnostics rollup,
+    Naive-Bayes classifier, per-doc tf-idf top terms, bigram-LM fluency
+    score, domain diagnostics rollup,
     near-dup cluster-size histogram, CCNet-style LM perplexity buckets,
     PII scrub, vocabulary top-k, duplicated-n-gram coverage, per-label
     embedding centroids, winnowing fingerprints, integer PageRank,
@@ -1328,10 +1336,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     training mix, the multimodal near-dup-frames pipeline — never
     driver-checked), ann_pq_topk stays in-window because its oracle gained
     the dirty-row predicate this round (rule 3), the 12 queries whose r03
-    green rows go stale after this round rotate back in (rule 2), and 35
-    r04-green unchanged veterans rotate to tail positions 51-85
-    (l1_topk displaced from the standing window when text_nb_classify
-    landed,
+    green rows go stale after this round rotate back in (rule 2), and 36
+    r04-green unchanged veterans rotate to tail positions 51-86
+    (g2_families_grouped and l1_topk displaced from the standing window
+    when text_nb_classify and text_tfidf_topk landed,
     (c9_json_extract, g4_family_envelope, dedup_exact, dedup_ngram_jaccard,
     dedup_minhash_lsh, pipeline_training_mix, dedup_incremental,
     dedup_embedding_pairs,
@@ -1344,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_span_scrub": _text_dup_span_scrub,
         "crawl_recrawl_schedule": _crawl_recrawl_schedule,
         "text_nb_classify": _text_nb_classify,
+        "text_tfidf_topk": _text_tfidf_topk,
         # -- new round 5 (corpus-quality LM score + diagnostics rollups) ----
         "text_lm_score": _text_lm_score,
         "pipeline_domain_stats": _pipeline_domain_stats,
@@ -2446,6 +2455,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(score AS BIGINT) AS score_micros,
                    CAST(score - COALESCE(runner, score) AS BIGINT) AS margin_micros
             FROM r WHERE rn = 1
+        """,
+        # Per-doc tf·idf top-5: same Robertson rational idf as keyword_topk,
+        # tfidf_millis = tf * idf_millis, ties (tfidf DESC, tf DESC, term ASC).
+        "text_tfidf_topk": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS t FROM documents WHERE len({_TOKS}) > 0
+            ),
+            ts AS (SELECT doc_id, unnest(t) AS term FROM t),
+            tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM ts GROUP BY 1, 2
+            ),
+            dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM t),
+            idf AS (
+                SELECT term,
+                       CAST((1000 * (n_docs - df + 1)) // (df + 1) AS BIGINT) AS idf_millis
+                FROM dfr, n
+            ),
+            sc AS (
+                SELECT doc_id, term, tf, tf * idf_millis AS tfidf_millis
+                FROM tf JOIN idf USING (term)
+            ),
+            r AS (
+                SELECT doc_id, term, tf, tfidf_millis,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY tfidf_millis DESC, tf DESC, term ASC
+                       ) AS term_rank
+                FROM sc
+            )
+            SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, term, tf,
+                   CAST(tfidf_millis AS BIGINT) AS tfidf_millis
+            FROM r WHERE term_rank <= 5
         """,
         # Recrawl scheduling: change = event_type differs from the previous
         # observation (lag over (t, event_id)); rate in permille of adjacent

@@ -618,6 +618,67 @@ def dup_span_scrub(
     )
 
 
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k salient terms by integer tf·idf — the keyword /
+    doc-tagging table a search index or topic-routing stage reads (the
+    reference crawls into a metadata store keyed for retrieval; this is the
+    per-doc salience feature next to it). Same log-free Robertson idf
+    surrogate as :func:`keyword_topk` (``idf_millis = div(1000*(N-df+1),
+    df+1)``, monotone in df, bit-identical in any engine), scored as
+    ``tfidf_millis = tf * idf_millis``; int64-safe for corpora to ~4e9 docs
+    at 10^6-token documents. Rank ties break (tfidf DESC, tf DESC, term
+    ASC) for a total order.
+
+    Scale shape: tf is one groupBy on the exploded (doc, token) pair; df is
+    one vocab-bounded rollup of that same frame (no second corpus scan);
+    the tf⋈idf join keys on the uniform token hash — the vocab frame is NOT
+    broadcast because web-corpus vocab is itself corpus-scale; N is the
+    only broadcast (one row). The final per-doc top-k is a row_number
+    window partitioned by doc_id. Three shuffles total — (doc,token),
+    token, doc — all on uniform keys, linear end-to-end; output bounded at
+    k·|docs|.
+    """
+    from pyspark.sql.window import Window
+
+    toks = (
+        widen(docs)
+        .select(F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("t"))
+        .filter(F.size("t") > 0)
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_frame = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = toks.agg(F.count("*").cast("long").alias("n_docs"))
+    idf = df_frame.join(F.broadcast(n_docs)).select(
+        "term", F.expr("div(1000 * (n_docs - df + 1), df + 1)").alias("idf_millis")
+    )
+    scored = tf.join(idf, "term").select(
+        "doc_id", "term", "tf", (F.col("tf") * F.col("idf_millis")).alias("tfidf_millis")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_millis").desc(), F.col("tf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(
+            "doc_id",
+            F.col("term_rank").cast("long").alias("term_rank"),
+            "term",
+            "tf",
+            F.col("tfidf_millis").cast("long").alias("tfidf_millis"),
+        )
+    )
+
+
 NB_SCALE = 1_000_000  # per-token evidence weights in micros
 
 

@@ -555,3 +555,49 @@ def test_nb_classify_matches_integer_python_twin(spark):
     # the crafted signal must actually be recovered
     assert got[0][0] == "en" and got[2][0] == "de" and got[3][0] == "de"
     assert all(got[d][2] >= 0 for d in got)
+
+
+def test_tfidf_topk_matches_integer_python_twin(spark):
+    """tf·idf top-k: exact match with a literal Python implementation of
+    the integer contract (Robertson rational idf in millis, truncating
+    div), tie-break (tfidf DESC, tf DESC, term ASC), k cap honored."""
+    from crawler_service_spark.operators.textquality import tfidf_topk
+
+    docs = [
+        (0, "apple banana apple cherry apple"),
+        (1, "banana cherry cherry date"),
+        (2, "date date date unique"),
+        (3, "apple banana cherry date"),  # all-common doc: ties everywhere
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    K = 2
+
+    toks = {d: t.split() for d, t in docs}
+    n_docs = len(docs)
+    tf: dict = {}
+    for d, _ in docs:
+        for t in toks[d]:
+            tf[(d, t)] = tf.get((d, t), 0) + 1
+    dfreq: dict = {}
+    for (_, t), _c in tf.items():
+        dfreq[t] = dfreq.get(t, 0) + 1
+    expect = set()
+    for d, _ in docs:
+        rows = []
+        for t in set(toks[d]):
+            idf = (1000 * (n_docs - dfreq[t] + 1)) // (dfreq[t] + 1)
+            rows.append((t, tf[(d, t)], tf[(d, t)] * idf))
+        rows.sort(key=lambda r: (-r[2], -r[1], r[0]))
+        for rank, (t, c, s) in enumerate(rows[:K], 1):
+            expect.add((d, rank, t, c, s))
+
+    for probe in (df, df.repartition(3)):
+        got = {
+            (r["doc_id"], r["term_rank"], r["term"], r["tf"], r["tfidf_millis"])
+            for r in tfidf_topk(probe, k=K).collect()
+        }
+        assert got == expect
+    # rare terms must outrank ubiquitous ones: doc 2's 'unique' (df=1)
+    assert (2, 2, "unique", 1, (1000 * 4) // 2) in expect or any(
+        e[0] == 2 and e[2] == "unique" for e in expect
+    )

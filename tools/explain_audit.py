@@ -113,6 +113,11 @@ CLAIMS = {
     "crawl_recrawl_schedule": [
         (r"Window", "lag window over the url key"),
     ],
+    "text_tfidf_topk": [
+        # tf and df aggregate map-side; the only Window is the per-doc top-k
+        (r"HashAggregate", "tf/df aggregate with map-side combine"),
+        (r"Window", "per-doc top-k window"),
+    ],
     "text_nb_classify": [
         # the per-label constants frame (|labels| rows) broadcasts back to
         # the corpus; the only Window is the per-doc argmax

@@ -850,6 +850,13 @@ def _text_tfidf_topk(spark, sf):
     return textquality.tfidf_topk(_t(spark, sf, "documents"), k=5)
 
 
+def _text_postings(spark, sf):
+    """Inverted-index build: per term df/cf, first-20 postings, and an md5
+    over the full d-gap-encoded postings string — vocab-bounded output
+    verifying the complete list."""
+    return textquality.build_postings(_t(spark, sf, "documents"), head_k=20)
+
+
 def _crawl_recrawl_schedule(spark, sf):
     """Freshness loop: per-URL change-rate estimate from the fetch-
     observation history (events: user_id = URL key, event_type = content
@@ -1321,10 +1328,11 @@ def _multimodal_neardup_frames(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's CORRECTNESS order, and the driver caps
     the record at 50 rows per round — so ordering is a rotation policy, not
-    cosmetic (see REGISTRY.md). Round 5 (86 entries): the twenty-four NEW
+    cosmetic (see REGISTRY.md). Round 5 (87 entries): the twenty-five NEW
     queries lead (training-sequence packing rollup, redirect-chain
     resolution, duplicated-span scrub, recrawl scheduling, integer
-    Naive-Bayes classifier, per-doc tf-idf top terms, bigram-LM fluency
+    Naive-Bayes classifier, per-doc tf-idf top terms, inverted-index
+    postings build, bigram-LM fluency
     score, domain diagnostics rollup,
     near-dup cluster-size histogram, CCNet-style LM perplexity buckets,
     PII scrub, vocabulary top-k, duplicated-n-gram coverage, per-label
@@ -1336,10 +1344,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     training mix, the multimodal near-dup-frames pipeline — never
     driver-checked), ann_pq_topk stays in-window because its oracle gained
     the dirty-row predicate this round (rule 3), the 12 queries whose r03
-    green rows go stale after this round rotate back in (rule 2), and 36
-    r04-green unchanged veterans rotate to tail positions 51-86
-    (g2_families_grouped and l1_topk displaced from the standing window
-    when text_nb_classify and text_tfidf_topk landed,
+    green rows go stale after this round rotate back in (rule 2), and 37
+    r04-green unchanged veterans rotate to tail positions 51-87
+    (u4_frontier_merge, g2_families_grouped, and l1_topk displaced from
+    the standing window when text_nb_classify, text_tfidf_topk, and
+    text_postings landed,
     (c9_json_extract, g4_family_envelope, dedup_exact, dedup_ngram_jaccard,
     dedup_minhash_lsh, pipeline_training_mix, dedup_incremental,
     dedup_embedding_pairs,
@@ -1353,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_recrawl_schedule": _crawl_recrawl_schedule,
         "text_nb_classify": _text_nb_classify,
         "text_tfidf_topk": _text_tfidf_topk,
+        "text_postings": _text_postings,
         # -- new round 5 (corpus-quality LM score + diagnostics rollups) ----
         "text_lm_score": _text_lm_score,
         "pipeline_domain_stats": _pipeline_domain_stats,
@@ -2455,6 +2465,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(score AS BIGINT) AS score_micros,
                    CAST(score - COALESCE(runner, score) AS BIGINT) AS margin_micros
             FROM r WHERE rn = 1
+        """,
+        # Inverted-index build: per-term df/cf, first-20 postings ascending,
+        # md5 over the full d-gap "delta:tf" encoding of the sorted list.
+        "text_postings": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS t FROM documents WHERE len({_TOKS}) > 0
+            ),
+            ts AS (SELECT doc_id, unnest(t) AS term FROM t),
+            tf AS (
+                SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+                FROM ts GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT term,
+                       CAST(count(*) AS BIGINT) AS df,
+                       CAST(sum(tf) AS BIGINT) AS cf,
+                       list(doc_id ORDER BY doc_id) AS ds,
+                       list(tf ORDER BY doc_id) AS tfs
+                FROM tf GROUP BY 1
+            )
+            SELECT term, df, cf,
+                   ds[1:20] AS head_docs,
+                   md5(array_to_string(
+                       [CAST(ds[i] - CASE WHEN i = 1 THEN 0 ELSE ds[i-1] END
+                             AS VARCHAR) || ':' || CAST(tfs[i] AS VARCHAR)
+                        for i in range(1, len(ds) + 1)],
+                       ',')) AS postings_md5
+            FROM agg
         """,
         # Per-doc tf·idf top-5: same Robertson rational idf as keyword_topk,
         # tfidf_millis = tf * idf_millis, ties (tfidf DESC, tf DESC, term ASC).

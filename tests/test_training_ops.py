@@ -601,3 +601,51 @@ def test_tfidf_topk_matches_integer_python_twin(spark):
     assert (2, 2, "unique", 1, (1000 * 4) // 2) in expect or any(
         e[0] == 2 and e[2] == "unique" for e in expect
     )
+
+
+def test_build_postings_matches_python_twin(spark):
+    """Inverted-index build: df/cf/head/d-gap-md5 equal a literal Python
+    twin; postings order is ascending doc_id regardless of partitioning;
+    head cap honored."""
+    import hashlib
+
+    from crawler_service_spark.operators.textquality import build_postings
+
+    docs = [
+        (10, "alpha beta alpha"),
+        (3, "beta gamma"),
+        (7, "alpha alpha gamma gamma gamma"),
+        (1, "delta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    K = 2
+
+    post: dict = {}
+    for d, t in docs:
+        counts: dict = {}
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+        for w, c in counts.items():
+            post.setdefault(w, []).append((d, c))
+    expect = {}
+    for w, lst in post.items():
+        lst.sort()
+        ds = [d for d, _ in lst]
+        enc = ",".join(
+            f"{d - (ds[i-1] if i else 0)}:{c}" for i, (d, c) in enumerate(lst)
+        )
+        expect[w] = (
+            len(lst),
+            sum(c for _, c in lst),
+            tuple(ds[:K]),
+            hashlib.md5(enc.encode()).hexdigest(),
+        )
+
+    for probe in (df, df.repartition(3)):
+        got = {
+            r["term"]: (r["df"], r["cf"], tuple(r["head_docs"]), r["postings_md5"])
+            for r in build_postings(probe, head_k=K).collect()
+        }
+        assert got == expect
+    # multi-doc term really is d-gap encoded (alpha in docs 3?no: 7,10)
+    assert expect["alpha"][2] == (7, 10)

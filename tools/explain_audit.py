@@ -113,6 +113,11 @@ CLAIMS = {
     "crawl_recrawl_schedule": [
         (r"Window", "lag window over the url key"),
     ],
+    "text_postings": [
+        # both aggregations hash-aggregate (map-side combine); postings
+        # order comes from array_sort inside the group, not a global Sort
+        (r"HashAggregate", "tf + term rollup aggregate map-side"),
+    ],
     "text_tfidf_topk": [
         # tf and df aggregate map-side; the only Window is the per-doc top-k
         (r"HashAggregate", "tf/df aggregate with map-side combine"),

@@ -857,6 +857,21 @@ def _text_postings(spark, sf):
     return textquality.build_postings(_t(spark, sf, "documents"), head_k=20)
 
 
+def _crawl_budget_allocation(spark, sf):
+    """Largest-remainder apportionment of a 10,000-slot crawl budget over
+    doc-family hosts scored by total content bytes: sum(budget) == 10,000
+    bit-exactly; remainder rank via the two-level value-range-bucket scan
+    (never a single-partition global sort)."""
+    from crawler_service_spark.operators.politeness import budget_allocation
+
+    hosts = (
+        _t(spark, sf, "documents")
+        .groupBy((F.col("doc_id") - F.col("doc_id") % 5).alias("host"))
+        .agg(F.sum("n_chars").cast("long").alias("score"))
+    )
+    return budget_allocation(hosts, total_budget=10_000)
+
+
 def _crawl_recrawl_schedule(spark, sf):
     """Freshness loop: per-URL change-rate estimate from the fetch-
     observation history (events: user_id = URL key, event_type = content
@@ -1328,12 +1343,12 @@ def _multimodal_neardup_frames(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's CORRECTNESS order, and the driver caps
     the record at 50 rows per round — so ordering is a rotation policy, not
-    cosmetic (see REGISTRY.md). Round 5 (87 entries): the twenty-five NEW
+    cosmetic (see REGISTRY.md). Round 5 (88 entries): the twenty-six NEW
     queries lead (training-sequence packing rollup, redirect-chain
     resolution, duplicated-span scrub, recrawl scheduling, integer
     Naive-Bayes classifier, per-doc tf-idf top terms, inverted-index
-    postings build, bigram-LM fluency
-    score, domain diagnostics rollup,
+    postings build, largest-remainder crawl-budget apportionment,
+    bigram-LM fluency score, domain diagnostics rollup,
     near-dup cluster-size histogram, CCNet-style LM perplexity buckets,
     PII scrub, vocabulary top-k, duplicated-n-gram coverage, per-label
     embedding centroids, winnowing fingerprints, integer PageRank,
@@ -1344,11 +1359,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     training mix, the multimodal near-dup-frames pipeline — never
     driver-checked), ann_pq_topk stays in-window because its oracle gained
     the dirty-row predicate this round (rule 3), the 12 queries whose r03
-    green rows go stale after this round rotate back in (rule 2), and 37
-    r04-green unchanged veterans rotate to tail positions 51-87
-    (u4_frontier_merge, g2_families_grouped, and l1_topk displaced from
-    the standing window when text_nb_classify, text_tfidf_topk, and
-    text_postings landed,
+    green rows go stale after this round rotate back in (rule 2), and 38
+    r04-green unchanged veterans rotate to tail positions 51-88
+    (j6_cc_star, u4_frontier_merge, g2_families_grouped, and l1_topk
+    displaced from the standing window when text_nb_classify,
+    text_tfidf_topk, text_postings, and crawl_budget_allocation landed,
     (c9_json_extract, g4_family_envelope, dedup_exact, dedup_ngram_jaccard,
     dedup_minhash_lsh, pipeline_training_mix, dedup_incremental,
     dedup_embedding_pairs,
@@ -1363,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nb_classify": _text_nb_classify,
         "text_tfidf_topk": _text_tfidf_topk,
         "text_postings": _text_postings,
+        "crawl_budget_allocation": _crawl_budget_allocation,
         # -- new round 5 (corpus-quality LM score + diagnostics rollups) ----
         "text_lm_score": _text_lm_score,
         "pipeline_domain_stats": _pipeline_domain_stats,
@@ -2465,6 +2481,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(score AS BIGINT) AS score_micros,
                    CAST(score - COALESCE(runner, score) AS BIGINT) AS margin_micros
             FROM r WHERE rn = 1
+        """,
+        # Largest-remainder budget apportionment: floor shares + the
+        # B - sum(floor) leftover units to the largest remainders
+        # (ties host ASC); sum(budget) == B exactly.
+        "crawl_budget_allocation": """
+            WITH h AS (
+                SELECT (doc_id - doc_id % 5) AS host,
+                       CAST(sum(n_chars) AS BIGINT) AS score
+                FROM documents GROUP BY 1 HAVING sum(n_chars) > 0
+            ),
+            t AS (SELECT CAST(sum(score) AS BIGINT) AS total FROM h),
+            b AS (
+                SELECT host, score,
+                       CAST((10000 * score) // total AS BIGINT) AS floor_share,
+                       CAST((10000 * score) % total AS BIGINT) AS rem
+                FROM h, t
+            ),
+            l AS (
+                SELECT CAST(10000 - sum(floor_share) AS BIGINT) AS leftover FROM b
+            ),
+            r AS (
+                SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC) AS rk
+                FROM b
+            )
+            SELECT host, score, floor_share, rem,
+                   CAST(floor_share + CASE
+                       WHEN rk <= (SELECT leftover FROM l) THEN 1 ELSE 0
+                   END AS BIGINT) AS budget
+            FROM r
         """,
         # Inverted-index build: per-term df/cf, first-20 postings ascending,
         # md5 over the full d-gap "delta:tf" encoding of the sorted list.

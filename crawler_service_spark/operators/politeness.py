@@ -112,3 +112,78 @@ def schedule(
     if global_cap is not None:
         picked = picked.orderBy(*order_cols()).limit(int(global_cap))
     return picked
+
+
+def budget_allocation(
+    hosts: DataFrame,
+    total_budget: int,
+    host_col: str = "host",
+    score_col: str = "score",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a global crawl budget
+    across hosts — the per-iteration "how many fetch slots does each host
+    get" table a budgeted frontier reads (the reference throttles with one
+    global thread pool; a proportional per-host budget is its semantic
+    upgrade, same family as the Crawl-delay budgets above). Exact integer
+    contract: ``floor_i = div(B*s_i, total)``, the ``B - sum(floor)``
+    leftover units go to the hosts with the largest remainders
+    ``(B*s_i) mod total`` (ties: host ASC), so ``sum(budget) == B``
+    bit-exactly in any engine. Hosts with score <= 0 are excluded.
+
+    Scale shape: the remainder rank needs the global order statistic, and a
+    bare ``row_number() OVER (ORDER BY rem)`` is a single-partition sort of
+    the whole host frame — the same trap ``packing.doc_offsets`` avoids, so
+    the same two-level scan fixes it: remainders hash into ``n_buckets``
+    VALUE-RANGE buckets (``div(rem, ceil-ish(total/n_buckets))`` — bucket
+    order IS remainder order, and equal remainders can never straddle a
+    boundary), per-bucket counts roll up to a tiny frame whose descending
+    running count is the only unpartitioned window, and the intra-bucket
+    row_number (PARTITION BY bucket — parallel) adds the offset. Everything
+    else is one broadcast total row and map-side arithmetic. int64-safe
+    while ``B * max_score < 2^63``.
+    """
+    b = int(total_budget)
+    nb = int(n_buckets)
+    h = (
+        hosts.select(
+            F.col(host_col).alias("host"), F.col(score_col).cast("long").alias("score")
+        )
+        .filter(F.col("score") > 0)
+    )
+    tot = h.agg(F.sum("score").cast("long").alias("total"))
+    base = h.join(F.broadcast(tot)).select(
+        "host",
+        "score",
+        "total",
+        F.expr(f"div({b} * score, total)").alias("floor_share"),
+        F.expr(f"({b} * score) % total").alias("rem"),
+    )
+    leftover = base.agg(
+        (F.lit(b) - F.sum("floor_share")).cast("long").alias("leftover")
+    )
+    bucketed = base.withColumn(
+        "bucket", F.expr(f"div(rem, greatest(1L, div(total, {nb})))")
+    )
+    counts = bucketed.groupBy("bucket").agg(F.count("*").cast("long").alias("c"))
+    wb = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = counts.select(
+        "bucket", F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("rank_base")
+    )
+    wi = Window.partitionBy("bucket").orderBy(
+        F.col("rem").desc(), F.col("host").asc()
+    )
+    ranked = bucketed.join(F.broadcast(bases), "bucket").withColumn(
+        "rk", F.col("rank_base") + F.row_number().over(wi)
+    )
+    return ranked.join(F.broadcast(leftover)).select(
+        "host",
+        "score",
+        F.col("floor_share").cast("long").alias("floor_share"),
+        F.col("rem").cast("long").alias("rem"),
+        (F.col("floor_share") + (F.col("rk") <= F.col("leftover")).cast("long"))
+        .cast("long")
+        .alias("budget"),
+    )

@@ -212,3 +212,38 @@ def test_parse_sitemaps_global_scope_and_edge_cases(spark):
         ("a.example.com", "https://a.example.com/inside-group.xml"),
         ("a.example.com", "https://a.example.com/caps.xml"),
     }
+
+
+def test_budget_allocation_matches_python_twin_and_sums_exactly(spark):
+    """Hamilton apportionment: equals a literal Python twin, sum(budget)
+    is bit-exactly the total budget, invariant to n_buckets and input
+    partitioning, zero-score hosts excluded, remainder ties break host ASC."""
+    from crawler_service_spark.operators.politeness import budget_allocation
+
+    rows = [(f"h{i:03d}", (i * 37) % 11 + (1 if i % 3 else 0)) for i in range(40)]
+    rows += [("hzero", 0), ("hneg", -5)]  # excluded
+    df = spark.createDataFrame(rows, "host string, score long")
+    B = 1000
+
+    live = [(h, s) for h, s in rows if s > 0]
+    total = sum(s for _, s in live)
+    floor = {h: (B * s) // total for h, s in live}
+    rem = {h: (B * s) % total for h, s in live}
+    left = B - sum(floor.values())
+    order = sorted(live, key=lambda hs: (-rem[hs[0]], hs[0]))
+    expect = {
+        h: (s, floor[h], rem[h], floor[h] + (1 if rk < left else 0))
+        for rk, (h, s) in enumerate(order)
+    }
+
+    for probe, nb in ((df, 64), (df.repartition(7), 64), (df, 3), (df, 1)):
+        got = {
+            r["host"]: (r["score"], r["floor_share"], r["rem"], r["budget"])
+            for r in budget_allocation(
+                probe, total_budget=B, n_buckets=nb
+            ).collect()
+        }
+        assert got == expect
+        assert sum(v[3] for v in got.values()) == B
+        assert "hzero" not in got and "hneg" not in got
+    assert 0 < left < len(live)  # the fixture actually exercises the remainder rank

@@ -113,6 +113,12 @@ CLAIMS = {
     "crawl_recrawl_schedule": [
         (r"Window", "lag window over the url key"),
     ],
+    "crawl_budget_allocation": [
+        # the only unpartitioned window runs over the bucket-count frame;
+        # the host-frame window is PARTITION BY bucket (parallel)
+        (r"BroadcastHashJoin|BroadcastNestedLoopJoin", "total/leftover rows broadcast"),
+        (r"Window", "two-level remainder-rank windows"),
+    ],
     "text_postings": [
         # both aggregations hash-aggregate (map-side combine); postings
         # order comes from array_sort inside the group, not a global Sort

@@ -1,0 +1,74 @@
+"""As-of join contract: backward inclusive, deterministic ties, LEFT
+semantics, partition invariance — pinned against a literal Python twin."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from crawler_service_spark.operators.temporal import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_matches_python_twin(spark):
+    probes = [
+        (1, _ts("2026-01-01 10:00:00"), 100),  # exactly at a state ts -> inclusive
+        (1, _ts("2026-01-01 10:30:00"), 101),  # between states
+        (1, _ts("2026-01-01 09:00:00"), 102),  # before any state -> nulls
+        (2, _ts("2026-01-01 12:00:00"), 200),  # key with one state
+        (3, _ts("2026-01-01 12:00:00"), 300),  # key with no states at all
+    ]
+    states = [
+        (1, _ts("2026-01-01 10:00:00"), 7),
+        (1, _ts("2026-01-01 10:15:00"), 8),
+        (1, _ts("2026-01-01 11:00:00"), 9),
+        (2, _ts("2026-01-01 11:59:59"), 77),
+    ]
+    p = spark.createDataFrame(probes, "k long, ts timestamp, pid long")
+    s = spark.createDataFrame(states, "k long, ts timestamp, sid long")
+
+    def twin():
+        out = {}
+        for k, pt, pid in probes:
+            best = None
+            for sk, st, sid in states:
+                if sk == k and st <= pt and (best is None or st > best[0]):
+                    best = (st, sid)
+            out[pid] = (k, pt, best[1] if best else None, best[0] if best else None)
+        return out
+
+    expect = twin()
+    for probe_df in (p, p.repartition(4)):
+        rows = asof_join(
+            probe_df, s, on="k", state_cols=["sid"], suffix="_s"
+        ).collect()
+        got = {
+            r["pid"]: (r["k"], r["ts"], r["sid_s"], r["ts_s"]) for r in rows
+        }
+        assert got == expect
+    # the fixture exercises all three regimes
+    assert expect[100][2] == 7  # inclusive boundary
+    assert expect[101][2] == 8  # strictly-prior pick
+    assert expect[102][2] is None and expect[300][2] is None  # LEFT nulls
+
+
+def test_asof_join_tiebreak_max_wins(spark):
+    """Two state rows tying on (key, ts): the max tiebreak_col row carries."""
+    p = spark.createDataFrame(
+        [(1, _ts("2026-01-01 10:00:01"), 1)], "k long, ts timestamp, pid long"
+    )
+    s = spark.createDataFrame(
+        [
+            (1, _ts("2026-01-01 10:00:00"), 5, "low"),
+            (1, _ts("2026-01-01 10:00:00"), 9, "high"),
+        ],
+        "k long, ts timestamp, sid long, tag string",
+    )
+    for probe in (p, p.repartition(3)):
+        rows = asof_join(
+            probe, s, on="k", state_cols=["sid", "tag"], tiebreak_col="sid"
+        ).collect()
+        assert len(rows) == 1
+        assert (rows[0]["sid_state"], rows[0]["tag_state"]) == (9, "high")

@@ -113,6 +113,12 @@ CLAIMS = {
     "crawl_recrawl_schedule": [
         (r"Window", "lag window over the url key"),
     ],
+    "events_asof_attribution": [
+        # the as-of composition is ONE carry-forward window over the
+        # unioned frame — no BroadcastNestedLoopJoin / theta-join blow-up
+        (r"Window", "last(ignorenulls) carry-forward window"),
+        (r"Union", "tagged probe/state union-merge"),
+    ],
     "crawl_budget_allocation": [
         # the only unpartitioned window runs over the bucket-count frame;
         # the host-frame window is PARTITION BY bucket (parallel)

@@ -101,3 +101,80 @@ def asof_join(
         F.col(f"__carried.{c}").alias(f"{c}{suffix}") for c in carried
     ]
     return merged.select(*out_cols)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str] | str,
+    point_ts: str = "ts",
+    start_ts: str = "start_ts",
+    end_ts: str = "end_ts",
+    interval_cols: list[str] | None = None,
+    suffix: str = "_iv",
+    bucket_seconds: int = 600,
+) -> DataFrame:
+    """Range (interval) join — every point row matched to EVERY interval
+    row of the same key containing it (inclusive ``[start, end]``, inner
+    semantics): fetch-events vs maintenance windows, clicks vs campaign
+    windows, observations vs sessions.
+
+    Spark would execute the naive ``p.ts BETWEEN iv.start AND iv.end``
+    predicate as a per-key theta join — |points|x|intervals| comparisons
+    per key. The standard scalable rewrite buckets time into fixed
+    ``bucket_seconds`` cells: each interval explodes to the cells it
+    covers (fanout = ceil(len/width) + 1, bounded for bounded intervals),
+    each point maps to exactly one cell, and the match becomes an
+    EQUI-join on (key, cell) followed by the exact boundary filter.
+    Pick ``bucket_seconds`` near the typical interval length: fanout stays
+    O(1) per interval and each join cell holds only co-bucketed rows.
+
+    One shuffle of each side on the uniform (key, cell) pair; no window,
+    no UDF, no cartesian. Unbounded/highly-variable interval lengths want
+    a two-tier cell size (coarse + fine); this single-tier version states
+    the contract and is exact for any input.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if interval_cols is None:
+        interval_cols = [
+            c
+            for c in intervals.columns
+            if c not in keys and c not in (start_ts, end_ts)
+        ]
+    w = int(bucket_seconds)
+
+    p = points.withColumn(
+        "__cell",
+        F.floor(F.unix_seconds(F.col(point_ts).cast("timestamp")) / w).cast("long"),
+    )
+    iv = intervals.withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(
+                F.floor(
+                    F.unix_seconds(F.col(start_ts).cast("timestamp")) / w
+                ).cast("long"),
+                F.floor(
+                    F.unix_seconds(F.col(end_ts).cast("timestamp")) / w
+                ).cast("long"),
+            )
+        ),
+    )
+    carried = [start_ts, end_ts] + [
+        c for c in interval_cols if c not in (start_ts, end_ts)
+    ]
+    iv_sel = iv.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        "__cell",
+        *[F.col(c).alias(f"{c}{suffix}") for c in carried],
+    )
+    cond = [p[k] == iv_sel[f"__k_{k}"] for k in keys] + [
+        p["__cell"] == iv_sel["__cell"]
+    ]
+    joined = p.join(iv_sel, cond, "inner").filter(
+        (F.col(point_ts).cast("timestamp") >= F.col(f"{start_ts}{suffix}").cast("timestamp"))
+        & (F.col(point_ts).cast("timestamp") <= F.col(f"{end_ts}{suffix}").cast("timestamp"))
+    )
+    return joined.select(
+        *[p[c] for c in points.columns], *[F.col(f"{c}{suffix}") for c in carried]
+    )

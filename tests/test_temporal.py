@@ -72,3 +72,42 @@ def test_asof_join_tiebreak_max_wins(spark):
         ).collect()
         assert len(rows) == 1
         assert (rows[0]["sid_state"], rows[0]["tag_state"]) == (9, "high")
+
+
+def test_range_join_matches_python_twin(spark):
+    """Range join: inclusive on both bounds, every containing interval
+    matched, invariant to bucket width and partitioning."""
+    from crawler_service_spark.operators.temporal import range_join
+
+    points = [
+        (1, _ts("2026-01-01 10:00:00"), 1),   # == start of iv 100 -> match
+        (1, _ts("2026-01-01 10:30:00"), 2),   # inside iv 100 AND iv 101
+        (1, _ts("2026-01-01 11:00:00"), 3),   # == end of iv 100 -> match
+        (1, _ts("2026-01-01 11:00:01"), 4),   # just past end of 100, in 101
+        (1, _ts("2026-01-01 09:59:59"), 5),   # before everything -> dropped
+        (2, _ts("2026-01-01 10:30:00"), 6),   # right key-range, wrong key
+    ]
+    ivs = [
+        (1, _ts("2026-01-01 10:00:00"), _ts("2026-01-01 11:00:00"), 100),
+        (1, _ts("2026-01-01 10:15:00"), _ts("2026-01-01 12:00:00"), 101),
+        (3, _ts("2026-01-01 10:00:00"), _ts("2026-01-01 11:00:00"), 300),
+    ]
+    p = spark.createDataFrame(points, "k long, ts timestamp, pid long")
+    iv = spark.createDataFrame(
+        ivs, "k long, start_ts timestamp, end_ts timestamp, ivid long"
+    )
+
+    expect = {
+        (pid, ivid)
+        for k, pt, pid in points
+        for ik, s, e, ivid in ivs
+        if ik == k and s <= pt <= e
+    }
+    assert (2, 100) in expect and (2, 101) in expect  # multi-match exercised
+
+    for probe, width in ((p, 600), (p.repartition(4), 600), (p, 7), (p, 86400)):
+        rows = range_join(
+            probe, iv, on="k", point_ts="ts", bucket_seconds=width
+        ).collect()
+        got = {(r["pid"], r["ivid_iv"]) for r in rows}
+        assert got == expect, (width, got ^ expect)

@@ -113,6 +113,11 @@ CLAIMS = {
     "crawl_recrawl_schedule": [
         (r"Window", "lag window over the url key"),
     ],
+    "events_range_activation": [
+        # the interval predicate must execute as an EQUI hash join on
+        # (key, cell), never a BroadcastNestedLoopJoin theta join
+        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "equi-join on (key, cell)"),
+    ],
     "events_asof_attribution": [
         # the as-of composition is ONE carry-forward window over the
         # unioned frame — no BroadcastNestedLoopJoin / theta-join blow-up

@@ -857,6 +857,38 @@ def _text_postings(spark, sf):
     return textquality.build_postings(_t(spark, sf, "documents"), head_k=20)
 
 
+def _graph_triangle_counts(spark, sf):
+    """Per-vertex triangle counts over a deterministic doc graph: 5-doc
+    family cliques (10 triangles each) plus a triangle-free hub chain.
+    Degree-ordered wedge enumeration — exactly once per triangle."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 5).alias("fam")
+    )
+    clique = (
+        d.alias("x")
+        .join(d.alias("y"), F.col("x.fam") == F.col("y.fam"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("src"), F.col("y.doc_id").alias("dst"))
+    )
+    hubs = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 5).alias("dst")
+    )
+    edges = clique.unionByName(
+        hubs.join(d.select(F.col("doc_id").alias("dst")), "dst", "leftsemi")
+    )
+    return graph.triangle_counts(edges)
+
+
+def _pipeline_length_percentiles(spark, sf):
+    """Exact per-language token-length percentiles (p50/p90/p99 as order
+    statistics: min length whose cumulative count reaches ceil(k*n/100)) —
+    computed on the bounded (lang, length) distribution frame, one corpus
+    scan, no corpus-scale sort."""
+    return textquality.length_percentiles(
+        _t(spark, sf, "documents"), percentiles=(50, 90, 99)
+    )
+
+
 def _events_asof_attribution(spark, sf):
     """As-of join: every purchase event gains the most recent prior-or-
     simultaneous view by the same user (attribution), nulls when none.
@@ -1406,13 +1438,14 @@ def _multimodal_neardup_frames(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's CORRECTNESS order, and the driver caps
     the record at 50 rows per round — so ordering is a rotation policy, not
-    cosmetic (see REGISTRY.md). Round 5 (90 entries): the twenty-eight NEW
+    cosmetic (see REGISTRY.md). Round 5 (92 entries): the thirty NEW
     queries lead (training-sequence packing rollup, redirect-chain
     resolution, duplicated-span scrub, recrawl scheduling, integer
     Naive-Bayes classifier, per-doc tf-idf top terms, inverted-index
     postings build, largest-remainder crawl-budget apportionment,
     the as-of attribution join, the bucketed range/interval join,
-    bigram-LM fluency score, domain diagnostics rollup,
+    exact per-language length percentiles, degree-ordered triangle
+    counting, bigram-LM fluency score, domain diagnostics rollup,
     near-dup cluster-size histogram, CCNet-style LM perplexity buckets,
     PII scrub, vocabulary top-k, duplicated-n-gram coverage, per-label
     embedding centroids, winnowing fingerprints, integer PageRank,
@@ -1423,13 +1456,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     training mix, the multimodal near-dup-frames pipeline — never
     driver-checked), ann_pq_topk stays in-window because its oracle gained
     the dirty-row predicate this round (rule 3), the 12 queries whose r03
-    green rows go stale after this round rotate back in (rule 2), and 40
-    r04-green unchanged veterans rotate to tail positions 51-90
-    (j6_group_edges, j6_connected_components, j6_cc_star,
-    u4_frontier_merge, g2_families_grouped, and l1_topk displaced from
-    the standing window when text_nb_classify, text_tfidf_topk,
-    text_postings, crawl_budget_allocation, events_asof_attribution, and
-    events_range_activation landed,
+    green rows go stale after this round rotate back in (rule 2), and 42
+    r04-green unchanged veterans rotate to tail positions 51-92
+    (c5_mime_sniff, f4_ftp_dir_guess, j6_group_edges,
+    j6_connected_components, j6_cc_star, u4_frontier_merge,
+    g2_families_grouped, and l1_topk displaced from the standing window
+    by the eight late-round queries,
     (c9_json_extract, g4_family_envelope, dedup_exact, dedup_ngram_jaccard,
     dedup_minhash_lsh, pipeline_training_mix, dedup_incremental,
     dedup_embedding_pairs,
@@ -1447,6 +1479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget_allocation": _crawl_budget_allocation,
         "events_asof_attribution": _events_asof_attribution,
         "events_range_activation": _events_range_activation,
+        "pipeline_length_percentiles": _pipeline_length_percentiles,
+        "graph_triangle_counts": _graph_triangle_counts,
         # -- new round 5 (corpus-quality LM score + diagnostics rollups) ----
         "text_lm_score": _text_lm_score,
         "pipeline_domain_stats": _pipeline_domain_stats,
@@ -2549,6 +2583,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST(score AS BIGINT) AS score_micros,
                    CAST(score - COALESCE(runner, score) AS BIGINT) AS margin_micros
             FROM r WHERE rn = 1
+        """,
+        # Triangle counts: id-ordered triple join in the oracle (a<b<c,
+        # each triangle once); Spark uses the degree-ordered orientation —
+        # same triangle set, orientation-invariant.
+        "graph_triangle_counts": """
+            WITH d AS (
+                SELECT doc_id, doc_id - doc_id % 5 AS fam FROM documents
+            ),
+            clique AS (
+                SELECT x.doc_id AS src, y.doc_id AS dst
+                FROM d x JOIN d y ON x.fam = y.fam AND x.doc_id < y.doc_id
+            ),
+            hubs AS (
+                SELECT h.doc_id AS src, h.doc_id + 5 AS dst
+                FROM d h
+                WHERE h.doc_id % 5 = 0
+                  AND EXISTS (SELECT 1 FROM d t WHERE t.doc_id = h.doc_id + 5)
+            ),
+            raw AS (SELECT * FROM clique UNION ALL SELECT * FROM hubs),
+            e AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM raw WHERE src <> dst
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            verts AS (
+                SELECT v, CAST(count(*) AS BIGINT) AS degree
+                FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+                GROUP BY 1
+            ),
+            pv AS (
+                SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
+                FROM (SELECT unnest([x, y, z]) AS v FROM tri) GROUP BY 1
+            )
+            SELECT verts.v, verts.degree,
+                   CAST(COALESCE(pv.n_triangles, 0) AS BIGINT) AS n_triangles
+            FROM verts LEFT JOIN pv USING (v)
+        """,
+        # Exact order-statistic percentiles over the bounded per-(lang,
+        # length) distribution: p_k = min length with cum >= ceil(k*n/100).
+        "pipeline_length_percentiles": f"""
+            WITH l AS (
+                SELECT lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM documents WHERE len({_TOKS}) > 0
+            ),
+            d AS (
+                SELECT lang, n_tokens, CAST(count(*) AS BIGINT) AS c
+                FROM l GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT lang, n_tokens, c,
+                       sum(c) OVER (
+                           PARTITION BY lang ORDER BY n_tokens ASC
+                       ) AS cum
+                FROM d
+            ),
+            t AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM d GROUP BY 1)
+            SELECT cum.lang,
+                   CAST(max(n) AS BIGINT) AS n_docs,
+                   CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+                   CAST(min(CASE WHEN cum >= (50 * n + 99) // 100
+                            THEN n_tokens END) AS BIGINT) AS p50,
+                   CAST(min(CASE WHEN cum >= (90 * n + 99) // 100
+                            THEN n_tokens END) AS BIGINT) AS p90,
+                   CAST(min(CASE WHEN cum >= (99 * n + 99) // 100
+                            THEN n_tokens END) AS BIGINT) AS p99,
+                   CAST(max(n_tokens) AS BIGINT) AS max_tokens
+            FROM cum JOIN t USING (lang)
+            GROUP BY cum.lang
         """,
         # Range join: clicks inside the hour-long post-signup window of the
         # same user, inclusive bounds, every containing window matched.

@@ -79,6 +79,14 @@ HEADLINE_QUERIES = [
     "ann_pq_indexed",
     "multimodal_neardup_frames",
     "multimodal_features",
+    "text_nb_classify",
+    "text_tfidf_topk",
+    "text_postings",
+    "crawl_budget_allocation",
+    "events_asof_attribution",
+    "events_range_activation",
+    "pipeline_length_percentiles",
+    "graph_triangle_counts",
 ]
 
 

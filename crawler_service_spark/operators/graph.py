@@ -298,3 +298,71 @@ def resolve_redirects(
         "hops",
         F.coalesce(~F.col("is_redirector"), F.lit(True)).alias("resolved"),
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle participation over an undirected simple graph —
+    the local clustering signal (link-farm / spam-cluster detection on a
+    web graph: organic link neighborhoods close triangles, farms don't).
+
+    Exact count via the degree-ordered orientation (the MapReduce-classic
+    Suri–Vassilvitskii "node-iterator++"): orient every edge from its
+    (degree, id)-smaller endpoint to the larger, enumerate wedges only at
+    each edge's LOW vertex (pairs of its out-neighbors), and close each
+    wedge against the canonical undirected edge set. Every triangle is
+    counted exactly once — at its (degree, id)-minimum corner — and the
+    wedge fanout per vertex is bounded by its OUT-degree, which the
+    orientation caps at O(sqrt(m)) even for a maximal hub, so the wedge
+    frame stays near-linear on power-law web graphs where the naive
+    per-vertex pairing is quadratic in hub degree.
+
+    Plan: canonicalize+distinct (one shuffle), degree rollup (map-side),
+    two joins keyed on vertices and the closure equi-join on the (x, y)
+    pair, one final per-vertex rollup. No theta joins, no windows.
+    Output: (v, degree, n_triangles) for every vertex, n_triangles = 0
+    rows included.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    ed = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("degree").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+    wedges = (
+        o.select("u", F.col("w").alias("x"))
+        .join(o.select("u", F.col("w").alias("y")), "u")
+        .filter(F.col("x") < F.col("y"))
+    )
+    tri = wedges.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"]
+    )
+    per_v = (
+        tri.select(F.explode(F.array("u", "x", "y")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return deg.join(per_v, "v", "left").select(
+        "v",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+    )

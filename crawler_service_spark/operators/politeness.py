@@ -124,8 +124,10 @@ def budget_allocation(
     """Largest-remainder (Hamilton) apportionment of a global crawl budget
     across hosts — the per-iteration "how many fetch slots does each host
     get" table a budgeted frontier reads (the reference throttles with one
-    global thread pool; a proportional per-host budget is its semantic
-    upgrade, same family as the Crawl-delay budgets above). Exact integer
+    global pool of ``max_crawl_threads = 8``, reference
+    crawlers/globus_base_preserved.py:23; a proportional per-host budget
+    is its semantic upgrade, same family as the Crawl-delay budgets
+    above). Exact integer
     contract: ``floor_i = div(B*s_i, total)``, the ``B - sum(floor)``
     leftover units go to the hosts with the largest remainders
     ``(B*s_i) mod total`` (ties: host ASC), so ``sum(budget) == B``

@@ -5,8 +5,11 @@ with the greatest build-timestamp <= probe-timestamp for the same key — the
 "most recent prior state" lookup behind attribution (purchase <- last view),
 fetch-vs-snapshot reconciliation (which frontier snapshot was live when this
 URL was fetched), and any slowly-changing-dimension read. The reference
-resolves this imperatively (per-row queue/state lookups as it processes
-results); batch engines express it as a sorted merge.
+resolves this imperatively — per-row reads of mutable worker/crawl state
+as results arrive (reference crawlers/globus_base_preserved.py:59-60
+``crawl_status``/``worker_status_dict``, application.py status lookups);
+batch engines express the same "state as of this row's time" as a sorted
+merge.
 
 Spark has no ASOF JOIN operator, and the naive emulations both fail at
 scale: an inequality theta-join explodes to |probes|x|states| per key before

@@ -927,3 +927,66 @@ def corpus_domain_stats(
         F.expr("div(total_tokens, n_docs)").alias("mean_tokens"),
         "n_gopher_pass",
     )
+
+
+def length_percentiles(
+    docs: DataFrame,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact per-language token-length percentiles — the corpus length
+    report (sequence-length planning, truncation budgets, outlier gates)
+    published next to the training mix. Percentile definition is the exact
+    order statistic: ``p_k = min{ L : #(docs with n_tokens <= L) >=
+    ceil(k*n/100) }`` — integer-exact, tie-free, identical in any engine
+    (no interpolation, which differs between engines).
+
+    Scale shape: the same bounded-distribution-frame trick as
+    :func:`lm_perplexity_buckets` — lengths aggregate to a per-(lang,
+    n_tokens) frame bounded by |langs| x max_doc_len rows, the cumulative
+    window and the percentile picks run on THAT frame, and the corpus is
+    touched exactly once (one map + one groupBy). Never a corpus-scale
+    sort or ntile: at 10^10 docs a row-number percentile would globally
+    sort every language partition; a value-distribution rollup shuffles
+    only the bounded frame.
+    """
+    from pyspark.sql.window import Window
+
+    lens = (
+        widen(docs)
+        .select(
+            F.col(lang_col).alias("lang"),
+            token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    dist = lens.groupBy("lang", "n_tokens").agg(F.count("*").cast("long").alias("c"))
+    cum_w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_tokens").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dist.withColumn("cum", F.sum("c").over(cum_w))
+    totals = dist.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"div({int(p)} * n + 99, 100)"),
+                F.col("n_tokens"),
+            )
+        )
+        .cast("long")
+        .alias(f"p{int(p)}")
+        for p in percentiles
+    ]
+    return (
+        cum.join(totals, "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            *picks,
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )

@@ -264,3 +264,33 @@ def test_resolve_redirects_hop_budget_boundary(spark):
     assert got[100] == (116, 16, False)
     assert got[101] == (117, 16, True)
     assert got[999] == (999, 16, False)
+
+
+def test_triangle_counts_exact_on_known_graph(spark):
+    """4-clique (4 triangles, 3 per vertex) + pendant path + dup/reversed
+    edges + self-loop: exact per-vertex counts, canonicalization pinned,
+    partition-invariant."""
+    from crawler_service_spark.operators.graph import triangle_counts
+
+    edges = [
+        # 4-clique on 1..4 (some reversed, one duplicated)
+        (1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (3, 4),
+        # pendant path 4-5-6: no new triangles
+        (4, 5), (5, 6),
+        # self-loop must be dropped
+        (6, 6),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    expect = {
+        1: (3, 3), 2: (3, 3), 3: (3, 3),  # (degree, triangles)
+        4: (4, 3),
+        5: (2, 0), 6: (1, 0),
+    }
+    for probe in (df, df.repartition(5)):
+        got = {
+            r["v"]: (r["degree"], r["n_triangles"])
+            for r in triangle_counts(probe).collect()
+        }
+        assert got == expect
+    # total triangle count: each counted at 3 vertices
+    assert sum(t for _, t in expect.values()) == 3 * 4

@@ -649,3 +649,47 @@ def test_build_postings_matches_python_twin(spark):
         assert got == expect
     # multi-doc term really is d-gap encoded (alpha in docs 3?no: 7,10)
     assert expect["alpha"][2] == (7, 10)
+
+
+def test_length_percentiles_match_python_twin(spark):
+    """Order-statistic percentiles: min length whose cumulative count
+    reaches ceil(k*n/100) — exact vs a literal Python twin, invariant to
+    partitioning, ties and single-doc languages handled."""
+    from crawler_service_spark.operators.textquality import length_percentiles
+
+    docs = [(i, "en", "w " * (i + 1)) for i in range(10)]          # 1..10 tokens
+    docs += [(100 + i, "de", "x " * 5) for i in range(4)]          # all ties: 5
+    docs += [(200, "fr", "solo tokens here")]                      # single doc
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+
+    def twin():
+        by_lang: dict = {}
+        for _, lang, text in docs:
+            by_lang.setdefault(lang, []).append(len(text.split()))
+        out = {}
+        for lang, ls in by_lang.items():
+            ls.sort()
+            n = len(ls)
+            def pick(k):
+                need = (k * n + 99) // 100
+                cum = 0
+                for v in ls:
+                    cum += 1
+                    if cum >= need:
+                        return v
+            out[lang] = (n, ls[0], pick(50), pick(90), pick(99), ls[-1])
+        return out
+
+    expect = twin()
+    for probe in (df, df.repartition(5)):
+        got = {
+            r["lang"]: (
+                r["n_docs"], r["min_tokens"], r["p50"], r["p90"], r["p99"],
+                r["max_tokens"],
+            )
+            for r in length_percentiles(probe).collect()
+        }
+        assert got == expect
+    assert expect["de"] == (4, 5, 5, 5, 5, 5)       # tie collapse
+    assert expect["fr"][2:5] == (3, 3, 3)           # single doc: all = len
+    assert expect["en"][2] == 5 and expect["en"][4] == 10

@@ -113,6 +113,16 @@ CLAIMS = {
     "crawl_recrawl_schedule": [
         (r"Window", "lag window over the url key"),
     ],
+    "graph_triangle_counts": [
+        # wedge enumeration and closure are equi-joins; no nested-loop join
+        (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "wedge/closure equi-joins"),
+    ],
+    "pipeline_length_percentiles": [
+        # the window runs on the bounded (lang, length) frame after the
+        # map-side-combined length rollup — one corpus aggregate, no ntile
+        (r"HashAggregate", "length distribution aggregates map-side"),
+        (r"Window", "cumulative window on the bounded frame"),
+    ],
     "events_range_activation": [
         # the interval predicate must execute as an EQUI hash join on
         # (key, cell), never a BroadcastNestedLoopJoin theta join

@@ -191,6 +191,38 @@ def run_saturated(
     return res
 
 
+def warm_cache(paths: dict[str, str], cpus: int) -> float:
+    """One untimed full-scan pass over the saturated fixture so every rep
+    of the scaling cell measures WARM-page-cache compute scaling. Without
+    it, rep 0's small-cores run reads the fixture cold off the shared disk
+    and later reps read it from RAM — a non-stationary I/O term that lands
+    entirely on whichever arm runs first (observed: a cold n2 arm at 149 s
+    vs 109 s warm, inflating rep-0 efficiency and deflating later reps).
+    A real N-vs-4N cluster gives each arm its own storage bandwidth; the
+    cold/warm asymmetry is a shared-single-disk sandbox artifact, so the
+    honest cell removes it. Returns the warm-pass wall seconds (logged and
+    recorded in the JSON so the record shows the pass happened)."""
+    from pyspark.sql import functions as F
+
+    spark = get_spark("bench-warm", cpus=cpus, shuffle_partitions=cpus)
+    t0 = time.monotonic()
+    for key in ("pages", "robots_rules"):
+        df = spark.read.parquet(paths[key])
+        # sum of byte-lengths over every column forces a full decode of all
+        # row groups (a bare count() reads only parquet footers); timestamps
+        # and other scalars go via cast("string") — only string/binary
+        # support length() directly
+        cols = [
+            F.length(F.col(c)) if t in ("string", "binary") else F.length(F.col(c).cast("string"))
+            for c, t in df.dtypes
+        ]
+        df.select(sum(cols[1:], cols[0]).alias("b")).agg(F.sum("b")).collect()
+    wall = time.monotonic() - t0
+    spark.stop()
+    log(f"cache warm pass: {wall:.1f}s")
+    return round(wall, 1)
+
+
 def _steal_s() -> float:
     """Hypervisor steal time (seconds) — noisy-host evidence for the record."""
     try:
@@ -309,6 +341,7 @@ def main() -> None:
         # (best-of-3 + a recheck probe), leaving a documented re-run trail
         # instead of a bare implausible cell.
         probe = host_probe(n_small, n_big)
+        warm_s = warm_cache(sat_paths, n_big)
         s_small = s_big = None
         trail = []
 
@@ -400,6 +433,7 @@ def main() -> None:
             "fit": {"parallel_work_core_s": round(w_core_s, 1), "additive_floor_s": round(f_s, 1)},
             "runs": {"n": s_small, "n4": s_big},
             "host_probe": probe,
+            "cache_warm_pass_s": warm_s,
             "rep_trail": trail,
         }
     crawl = run_crawl(CPUS, paths, f"n{CPUS}")

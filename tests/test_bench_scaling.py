@@ -51,6 +51,7 @@ def _run_scaling(monkeypatch, capsys, walls: dict, probe_ratio: float = 3.04):
 
     monkeypatch.setattr(bench, "run_saturated", fake_run_saturated)
     monkeypatch.setattr(bench, "host_probe", fake_probe)
+    monkeypatch.setattr(bench, "warm_cache", lambda paths, cpus: 1.5)
     monkeypatch.setattr(bench, "sat_fixture", lambda sf: {})
     monkeypatch.setattr(bench, "crawl_fixture", lambda sf: {})
     monkeypatch.setattr(
@@ -98,6 +99,7 @@ def test_host_ceiling_normalization_fields(monkeypatch, capsys):
     s = rec["scaling"]
     assert s["host_ceiling"] == 0.8  # 3.2x delivered / 4x cores
     assert s["efficiency_vs_host_ceiling"] == round(s["efficiency"] / 0.8, 3)
+    assert s["cache_warm_pass_s"] == 1.5  # the untimed warm pass is recorded
 
 
 def test_implausible_best_of_falls_back_to_per_rep_median(monkeypatch, capsys):

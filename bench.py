@@ -416,7 +416,14 @@ def main() -> None:
         probes = [probe["ratio"]] + (
             [probe["recheck"]["ratio"]] if "recheck" in probe else []
         )
-        host_ceiling = round(max(probes) / (n_big / n_small), 3)
+        # Clamp at 1.0: the host can never deliver MORE than the core
+        # multiple. A single probe's ratio CAN exceed it when its two arms
+        # run under different congestion (observed: a contended p2 arm at
+        # 3.8 M/s vs a quiet p8 at 38.5 M/s read "ratio 10.13"), and max()
+        # would propagate that skew into an impossible >1 ceiling and a
+        # nonsense efficiency_vs_host_ceiling. The raw ratios stay in the
+        # host_probe record for the skew to be visible.
+        host_ceiling = round(min(1.0, max(probes) / (n_big / n_small)), 3)
         scaling = {
             "regime": "saturated-frontier (north-rule scale proxy; see run_saturated docstring)",
             "n_cores": n_small,

@@ -102,6 +102,21 @@ def test_host_ceiling_normalization_fields(monkeypatch, capsys):
     assert s["cache_warm_pass_s"] == 1.5  # the untimed warm pass is recorded
 
 
+def test_host_ceiling_clamped_at_core_multiple(monkeypatch, capsys):
+    # A probe whose two arms ran under DIFFERENT congestion can read a
+    # ratio above the core multiple (observed 10.13: contended p2 arm vs
+    # quiet p8). The ceiling is physically capped at 1.0 — the host never
+    # delivers more than the core multiple — so the record must clamp
+    # rather than publish an impossible >1 ceiling and a deflated
+    # efficiency_vs_host_ceiling.
+    walls = {(2, 0): 160.0, (8, 0): 44.0, (2, 1): 162.0, (8, 1): 45.0}
+    rec, _ = _run_scaling(monkeypatch, capsys, walls, probe_ratio=10.13)
+    s = rec["scaling"]
+    assert s["host_ceiling"] == 1.0
+    assert s["efficiency_vs_host_ceiling"] == s["efficiency"]
+    assert s["host_probe"]["ratio"] == 10.13  # raw skew stays visible
+
+
 def test_implausible_best_of_falls_back_to_per_rep_median(monkeypatch, capsys):
     # Congested big-arm runs drive best-of under 0.7 even after 3 reps ->
     # the official cell must switch to the drift-cancelling per-rep median

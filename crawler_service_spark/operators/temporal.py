@@ -76,6 +76,12 @@ def asof_join(
         F.lit(0).alias("__side"),
         F.struct(*[F.col(c) for c in carried]).alias("__sv"),
         (F.col(tiebreak_col) if tiebreak_col else F.lit(0)).alias("__tb"),
+    ).filter(
+        # a NULL-ts state row can never be "the most recent prior state"
+        # (p.ts >= NULL is NULL in the SQL contract), but the merge window's
+        # nulls-first sort would otherwise carry it to every probe before the
+        # first real state row — drop it here so dirty rows diverge nowhere
+        F.col("__t").isNotNull()
     )
     probe = probes.select(
         *keys,

@@ -54,6 +54,32 @@ def test_asof_join_matches_python_twin(spark):
     assert expect[102][2] is None and expect[300][2] is None  # LEFT nulls
 
 
+def test_asof_join_null_ts_state_rows_never_match(spark):
+    """A state row with NULL ts must match NOTHING (p.ts >= NULL is NULL in
+    the SQL contract) — not get carried to every probe before the first real
+    state row by the merge window's nulls-first sort."""
+    p = spark.createDataFrame(
+        [
+            (1, _ts("2026-01-01 09:00:00"), 1),  # before any real state
+            (1, _ts("2026-01-01 10:30:00"), 2),  # after the real state
+        ],
+        "k long, ts timestamp, pid long",
+    )
+    s = spark.createDataFrame(
+        [(1, None, 666), (1, _ts("2026-01-01 10:00:00"), 7)],
+        "k long, ts timestamp, sid long",
+    )
+    rows = {
+        r["pid"]: r["sid_state"]
+        for r in asof_join(p, s, on="k", state_cols=["sid"]).collect()
+    }
+    assert rows == {1: None, 2: 7}
+    # NULL-ts PROBES take LEFT nulls (NULL >= anything is NULL -> no match)
+    pn = spark.createDataFrame([(1, None, 3)], "k long, ts timestamp, pid long")
+    (r,) = asof_join(pn, s, on="k", state_cols=["sid"]).collect()
+    assert r["sid_state"] is None
+
+
 def test_asof_join_tiebreak_max_wins(spark):
     """Two state rows tying on (key, ts): the max tiebreak_col row carries."""
     p = spark.createDataFrame(

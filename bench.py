@@ -443,6 +443,15 @@ def main() -> None:
             "cache_warm_pass_s": warm_s,
             "rep_trail": trail,
         }
+    # congestion evidence for the HEADLINE + QUERY cells too (the scaling
+    # cell already self-defends): the 8->CPUS probe ratio bounds how much
+    # aggregate compute the shared host backs at those cells' parallelism
+    # right now. Historical quiet-host reading is ~2.5x at 32-vs-8 procs; a
+    # ratio near 1.0 means every local[32] cell is running on a fraction of
+    # its usual compute and slow cells are host artifacts, not plan changes
+    # (observed: ratio 1.11 during a congested window made 4 s cells read
+    # ~25 s and would have depressed the headline the same way).
+    queries_probe = host_probe(8, CPUS) if CPUS > 8 else host_probe(2, CPUS)
     crawl = run_crawl(CPUS, paths, f"n{CPUS}")
 
     queries = run_queries(CPUS, SF_DIR)
@@ -453,6 +462,7 @@ def main() -> None:
             "value": crawl["throughput_urls_per_sec"],
             "unit": "urls/sec",
             "queries": queries,
+            "cells_host_probe": queries_probe,
             "crawl": crawl,
             "scaling": scaling,
         }

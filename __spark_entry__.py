@@ -2801,9 +2801,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ),
             lagged AS (
+                -- null-SAFE compare gated on row position, mirroring the
+                -- Spark plan's eqNullSafe: a NULL signature (failed fetch)
+                -- is a change from and to any non-NULL neighbour
                 SELECT url_id, t,
-                       CASE WHEN lag(sig) OVER w IS NOT NULL
-                                 AND sig <> lag(sig) OVER w
+                       CASE WHEN row_number() OVER w > 1
+                                 AND sig IS DISTINCT FROM lag(sig) OVER w
                             THEN 1 ELSE 0 END AS chg
                 FROM e
                 WINDOW w AS (PARTITION BY url_id ORDER BY t, event_id)
@@ -3259,11 +3262,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
                 WHERE len(t) > 0
             ), hashed AS (
-                SELECT doc_id, i AS posplus1, {_H32.format(s='t[i]')} AS h
+                -- per-term residue BEFORE the sum, mirroring Spark's
+                -- overflow-safe plan (residue sum ≡ raw sum mod 2^31; DuckDB
+                -- would survive via HUGEINT promotion, but keep the twins
+                -- textually parallel)
+                SELECT doc_id, (i * {_H32.format(s='t[i]')}) % 2147483648 AS term
                 FROM toks
             )
             SELECT doc_id,
-                   CAST(((sum(posplus1 * h) % 2147483648) + 2147483648) % 2147483648 AS BIGINT) AS fingerprint
+                   CAST(((sum(term) % 2147483648) + 2147483648) % 2147483648 AS BIGINT) AS fingerprint
             FROM hashed GROUP BY doc_id
         """,
         "text_token_count": f"SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS token_count FROM documents",

@@ -40,14 +40,17 @@ def connected_components(
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    sym = sym.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
-
+    # node universe from the RAW endpoints: a node whose only edges are
+    # self-loops (a self-linking page) still belongs to the output — as in
+    # connected_components_star, which derives `nodes` before its self-loop
+    # filter. Self-loops are then dropped from the propagation frame only.
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    sym = sym.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
 
     converged = False
     for _ in range(max_rounds):

@@ -18,7 +18,7 @@ two-level scan):
    ``n_docs / bucket_size`` rows; the EXCLUSIVE running total over that
    small frame is the only single-partition window, and its width is chosen
    (``bucket_size``) so the frame stays thousands of rows at any corpus
-   size — at 10^10 docs and bucket_size 2^20 it is ~10k rows;
+   size — at 10^10 docs the default bucket_size 2^20 leaves ~10k rows;
 3. bucket base offsets broadcast-join back and a per-bucket window
    (PARTITION BY bucket — parallel) adds the intra-bucket exclusive prefix.
 
@@ -48,7 +48,7 @@ def doc_offsets(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bucket_size: int = 64,
+    bucket_size: int = 1 << 20,
 ) -> DataFrame:
     """(doc_id, n_tokens, start) — ``start`` is the exclusive prefix sum of
     token counts over ascending doc_id, computed with the two-level scan
@@ -96,7 +96,7 @@ def pack_sequences(
     seq_len: int = 512,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bucket_size: int = 64,
+    bucket_size: int = 1 << 20,
 ) -> DataFrame:
     """Per-sequence packing rollup for fixed-length training sequences.
 

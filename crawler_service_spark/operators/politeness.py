@@ -61,16 +61,32 @@ def robots_filter(candidates: DataFrame, robots: DataFrame) -> DataFrame:
 
 
 def host_budgets(robots: DataFrame, iteration_seconds: float) -> DataFrame:
-    """One row per host: scheduling budget for an iteration."""
+    """One row per host: scheduling budget for an iteration.
+
+    budget = max(1, floor(iteration / crawl_delay)). A host declaring
+    ``Crawl-delay: 0`` (or junk <= 0) is explicitly UNthrottled — as
+    delay -> 0 the floor diverges, so it gets the int32 max, not the
+    minimum: non-ANSI Spark turns the 1/0.0 into NULL and
+    ``greatest(1, NULL)`` would silently book the tightest budget for the
+    one host that asked for none (and ANSI mode would throw instead)."""
+    delay = F.col("crawl_delay_s")
     return (
         robots.groupBy("host")
         .agg(F.max("crawl_delay_s").alias("crawl_delay_s"))
         .select(
             "host",
-            F.greatest(
-                F.lit(1),
-                F.floor(F.lit(float(iteration_seconds)) / F.col("crawl_delay_s")),
+            F.when(
+                delay > 0,
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.least(  # cap pre-cast: a tiny delay must saturate,
+                        # not wrap the int32 cast to NULL (non-ANSI)
+                        F.floor(F.lit(float(iteration_seconds)) / delay),
+                        F.lit(2147483647).cast("long"),
+                    ),
+                ),
             )
+            .otherwise(F.lit(2147483647))
             .cast("int")
             .alias("host_budget"),
         )

@@ -64,9 +64,16 @@ def recrawl_schedule(
     )
     w = Window.partitionBy("url_id").orderBy("t", "o")
     prev = F.lag("sig").over(w)
+    # null-SAFE compare (<=>), gated on row_number to tell "first row" apart
+    # from "previous signature was NULL": a failed fetch recorded with a
+    # NULL sig both counts as a change from 'a' and is changed-from by the
+    # next 'a' — `sig != prev` would NULL out both pairs and book a
+    # flapping URL into the static monthly tier.
     lagged = d.withColumn(
         "chg",
-        F.when(prev.isNotNull() & (F.col("sig") != prev), 1).otherwise(0),
+        F.when(
+            (F.row_number().over(w) > 1) & ~F.col("sig").eqNullSafe(prev), 1
+        ).otherwise(0),
     )
     agg = lagged.groupBy("url_id").agg(
         F.count("*").cast("long").alias("n_obs"),
@@ -78,8 +85,13 @@ def recrawl_schedule(
         F.expr("div(1000 * n_changes, n_obs - 1)"),
     ).otherwise(F.lit(0))
     agg = agg.withColumn("change_permille", rate.cast("long"))
-    interval = F.lit(int(tiers[-1][1]))
-    for threshold, seconds in sorted(tiers):  # ascending: highest wins last
+    # fallback (change_permille below every threshold) = the LOWEST tier's
+    # interval — the coldest booking. tiers[-1][1] would read whatever the
+    # caller listed last: for ascending custom tiers without a 0 threshold
+    # that is the hottest interval, handed to the most static page.
+    ordered = sorted(tiers)
+    interval = F.lit(int(ordered[0][1]))
+    for threshold, seconds in ordered:  # ascending: highest wins last
         interval = F.when(
             F.col("change_permille") >= int(threshold), F.lit(int(seconds))
         ).otherwise(interval)

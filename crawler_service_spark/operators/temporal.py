@@ -40,6 +40,8 @@ partition-invariant; make the tiebreak unique per (key, ts) — or pre-dedupe
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -77,11 +79,18 @@ def asof_join(
         F.struct(*[F.col(c) for c in carried]).alias("__sv"),
         (F.col(tiebreak_col) if tiebreak_col else F.lit(0)).alias("__tb"),
     ).filter(
-        # a NULL-ts state row can never be "the most recent prior state"
-        # (p.ts >= NULL is NULL in the SQL contract), but the merge window's
-        # nulls-first sort would otherwise carry it to every probe before the
-        # first real state row — drop it here so dirty rows diverge nowhere
+        # a NULL-ts or NULL-key state row can never be "the most recent
+        # prior state" (p.ts >= NULL is NULL, and SQL equi-keys never match
+        # NULL), but the merge window would otherwise carry it: nulls-first
+        # sort hands a NULL-ts row to every probe, and partitionBy groups
+        # NULL keys together (GROUP BY semantics) so a NULL-key probe would
+        # match a NULL-key state — rows DuckDB's ASOF JOIN says don't exist.
+        # NULL-key PROBES stay: they ride their (empty) partition and come
+        # back with NULL state, the LEFT contract.
         F.col("__t").isNotNull()
+        & functools.reduce(
+            lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]
+        )
     )
     probe = probes.select(
         *keys,

@@ -110,10 +110,18 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive document fingerprint: sum over tokens of
     ``(pos+1) * h32(token) mod 2^31`` — a rolling-hash-style signature that
     changes when tokens reorder, computed entirely with explode + sum (scales
-    as a plain aggregation; no UDF)."""
+    as a plain aggregation; no UDF).
+
+    Each term is reduced mod 2^31 BEFORE the sum (the residue sum is
+    congruent to the raw sum, so values are unchanged where both are
+    defined): the raw ``(pos+1) * h32`` products grow as n * 2^31 and their
+    sum as n^2 * 2^30, which wraps int64 silently (non-ANSI) at ~65k-token
+    docs — inside the Gopher 100k-word bound. With per-term residues the
+    running sum stays < n * 2^31: int64-exact to ~4.3e9 tokens per doc."""
     toks = widen(docs).select("doc_id", F.posexplode(tokens_col(text_col)).alias("pos", "tok"))
+    term = F.pmod((F.col("pos") + 1) * h32("tok"), F.lit(2147483648))
     return toks.groupBy("doc_id").agg(
-        F.pmod(F.sum((F.col("pos") + 1) * h32("tok")), F.lit(2147483648)).alias("fingerprint")
+        F.pmod(F.sum(term), F.lit(2147483648)).alias("fingerprint")
     )
 
 
@@ -175,8 +183,6 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher repetition signals: share of word occurrences consumed by the
     single most frequent token and by the most frequent word-bigram
     (integer permille; high values flag boilerplate/spam)."""
-    from ..plans.partitioning import widen
-
     toks = widen(docs).select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
     uni = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
     uni_stats = uni.groupBy("doc_id").agg(
@@ -432,9 +438,7 @@ def winnow_fingerprints(
     m = F.size("t") - (k - 1)  # number of k-grams
     gram_hashes = F.transform(
         F.sequence(F.lit(1), m),
-        lambda i: F.conv(
-            F.substring(F.md5(F.array_join(F.slice("t", i, k), " ")), 1, 8), 16, 10
-        ).cast("long"),
+        lambda i: h32(F.array_join(F.slice("t", i, k), " ")),
     )
     with_h = toks.select(id_col, gram_hashes.alias("h"))
     n_win = F.size("h") - (w - 1)

@@ -135,7 +135,10 @@ def run_attribution_stream(
     stream-stream interval join into a parquet sink (AvailableNow — the
     long-poll drain shape every other streaming harness here uses).
     Exactly-once: checkpoint dedupes inputs, the sink commit log fences
-    output. Returns the number of micro-batches run."""
+    output. Returns the number of micro-batches committed by this
+    checkpoint so far (last batch id + 1 — cumulative across resumed
+    drains; ``len(recentProgress)`` would silently cap at the
+    numRecentProgressUpdates retention, default 100, on a long drain)."""
     clicks = (
         spark.readStream.schema(CLICK_SCHEMA).parquet(clicks_dir)
     )
@@ -153,4 +156,5 @@ def run_attribution_stream(
         .start()
     )
     q.awaitTermination()
-    return len(q.recentProgress)
+    last = q.lastProgress
+    return 0 if last is None else int(last["batchId"]) + 1

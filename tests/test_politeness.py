@@ -247,3 +247,27 @@ def test_budget_allocation_matches_python_twin_and_sums_exactly(spark):
         assert sum(v[3] for v in got.values()) == B
         assert "hzero" not in got and "hneg" not in got
     assert 0 < left < len(live)  # the fixture actually exercises the remainder rank
+
+
+def test_crawl_delay_zero_is_unthrottled_not_minimum(spark):
+    """Crawl-delay: 0 declares NO throttle — the budget must saturate at the
+    int32 max, not collapse to the minimum of 1 (non-ANSI 10/0.0 is NULL and
+    greatest(1, NULL) used to book the tightest budget for the one host that
+    asked for none). A sub-nanosecond delay must saturate too, not wrap the
+    int32 cast back to NULL."""
+    rows = [
+        ("zero.com", "", True, 0.0),
+        ("tiny.com", "", True, 1e-9),
+        ("neg.com", "", True, -3.0),  # junk directive, same bucket as 0
+        ("a.com", "", True, 1.0),
+    ]
+    budgets = {
+        r["host"]: r["host_budget"]
+        for r in politeness.host_budgets(
+            spark.createDataFrame(rows, ROBOTS_SCHEMA), 10.0
+        ).collect()
+    }
+    assert budgets["zero.com"] == 2147483647
+    assert budgets["tiny.com"] == 2147483647
+    assert budgets["neg.com"] == 2147483647
+    assert budgets["a.com"] == 10  # the normal path is untouched

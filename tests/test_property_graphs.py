@@ -294,3 +294,28 @@ def test_triangle_counts_exact_on_known_graph(spark):
         assert got == expect
     # total triangle count: each counted at 3 vertices
     assert sum(t for _, t in expect.values()) == 3 * 4
+
+
+def test_self_loop_only_node_kept_by_both_cc_variants(spark):
+    """A node whose ONLY edges are self-loops (a self-linking page) is still
+    part of the graph: both CC variants must return it as its own singleton
+    component. Label-prop used to derive its node universe AFTER the
+    self-loop filter and silently dropped such nodes, diverging from its
+    documented star twin."""
+    from crawler_service_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame([(3, 3), (1, 2)], "src long, dst long")
+    want = {(1, 1), (2, 1), (3, 3)}
+    lp = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    st = {
+        (r["node"], r["component"])
+        for r in connected_components_star(edges).collect()
+    }
+    assert lp == want
+    assert st == want

@@ -444,3 +444,24 @@ def test_corpus_domain_stats_matches_python_reference(spark):
         k: (n, len(h), n - len(h), tt, tt // n, gp)
         for k, (n, h, tt, gp) in exp.items()
     }
+
+
+def test_fingerprint_int64_exact_on_long_docs(spark):
+    """The order-sensitive fingerprint must stay int64-exact on long docs:
+    the raw sum of (pos+1)*h32 grows as n^2 * 2^30 and silently wraps int64
+    (non-ANSI) at ~10^5 tokens — inside the Gopher 100k-word bound. With the
+    per-term mod-2^31 residue the running sum is bounded by n * 2^31; the
+    value is unchanged (residue sum ≡ raw sum mod 2^31). Verified against an
+    arbitrary-precision Python twin at a length where the raw formula
+    provably overflows."""
+    n = 200_000
+    tokens = [f"w{i}" for i in range(n)]
+    text = " ".join(tokens)
+    # the RAW formula would overflow: prove the guard is exercised
+    raw = sum((i + 1) * textquality.h32_py(t) for i, t in enumerate(tokens))
+    assert raw > 2**63 - 1
+    want = raw % 2**31
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = textquality.fingerprint(docs).collect()
+    assert len(got) == 1
+    assert got[0]["fingerprint"] == want

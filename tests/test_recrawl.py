@@ -88,3 +88,43 @@ def test_tier_boundaries_inclusive(spark):
     got = {r["url_id"]: r for r in recrawl_schedule(df, order_col="obs_id").collect()}
     assert (got[10]["change_permille"], got[10]["revisit_s"]) == (800, 3_600)
     assert (got[11]["change_permille"], got[11]["revisit_s"]) == (400, 86_400)
+
+
+def test_null_signatures_count_as_changes(spark):
+    """A failed fetch recorded with a NULL signature is an observable state
+    flip: ['a', NULL, 'a', NULL, 'a'] changes on every adjacent pair. The
+    null-UNSAFE `sig != prev` comparison used to zero all four pairs and
+    book the flappiest URL into the static monthly tier."""
+    rows = [
+        (i, 7, T0 + timedelta(hours=i), sig)
+        for i, sig in enumerate(["a", None, "a", None, "a"])
+    ]
+    out = recrawl_schedule(spark.createDataFrame(rows, SCHEMA)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_obs"] == 5
+    assert r["n_changes"] == 4
+    assert r["change_permille"] == 1000
+    assert r["revisit_s"] == 3_600  # hourly tier, not monthly
+
+
+def test_custom_ascending_tiers_without_zero_threshold(spark):
+    """Tiers handed in ascending order with no 0-threshold entry: a URL
+    below every threshold books the LOWEST tier's (coldest) interval — the
+    old tiers[-1][1] initializer read the caller's last tuple and handed the
+    most static page the hottest interval."""
+    tiers = ((100, 604_800), (800, 3_600))  # ascending, no 0 threshold
+    rows = [
+        (0, 1, T0, "same"),
+        (1, 1, T0 + timedelta(hours=1), "same"),  # static: 0 permille
+        (2, 2, T0, "x"),
+        (3, 2, T0 + timedelta(hours=1), "y"),  # flips: 1000 permille
+    ]
+    got = {
+        r["url_id"]: r["revisit_s"]
+        for r in recrawl_schedule(
+            spark.createDataFrame(rows, SCHEMA), tiers=tiers
+        ).collect()
+    }
+    assert got[1] == 604_800  # coldest tier, NOT the hourly 3_600
+    assert got[2] == 3_600    # hottest tier still wins for real flappers

@@ -137,3 +137,26 @@ def test_range_join_matches_python_twin(spark):
         ).collect()
         got = {(r["pid"], r["ivid_iv"]) for r in rows}
         assert got == expect, (width, got ^ expect)
+
+
+def test_asof_join_null_key_rows_never_match(spark):
+    """SQL equi-keys never match NULL: a NULL-key probe must come back with
+    NULL state even when a NULL-key state row exists (partitionBy groups
+    NULLs together — GROUP BY semantics — so the merge window used to carry
+    the NULL-key state onto the NULL-key probe, rows DuckDB's ASOF JOIN says
+    don't exist). Non-null keys are unaffected."""
+    p = spark.createDataFrame(
+        [(None, _ts("2026-01-01 10:00:00"), 100),
+         (1, _ts("2026-01-01 10:00:00"), 101)],
+        "k long, ts timestamp, pid long",
+    )
+    s = spark.createDataFrame(
+        [(None, _ts("2026-01-01 09:00:00"), 7),
+         (1, _ts("2026-01-01 09:00:00"), 8)],
+        "k long, ts timestamp, sid long",
+    )
+    rows = asof_join(p, s, on="k", state_cols=["sid"], suffix="_s").collect()
+    got = {r["pid"]: r["sid_s"] for r in rows}
+    assert len(rows) == 2  # LEFT: the NULL-key probe row itself survives
+    assert got[100] is None
+    assert got[101] == 8

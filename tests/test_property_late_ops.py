@@ -196,3 +196,166 @@ def test_budget_allocation_matches_python_twin_random(spark, scores, budget):
     assert got == expect
     if pos:
         assert sum(v[3] for v in got.values()) == budget
+
+
+# ------------------------------------------- as-of join with dirty rows
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    probes=st.lists(
+        st.tuples(
+            st.sampled_from([None, 0, 1]),
+            st.sampled_from([None, 0, 3, 7, 20]),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    states=st.lists(
+        st.tuples(
+            st.sampled_from([None, 0, 1]),
+            st.sampled_from([None, 0, 3, 7, 20]),
+        ),
+        max_size=12,
+    ),
+)
+def test_asof_join_dirty_rows_match_python_twin_random(spark, probes, states):
+    """ANSI-SQL dirty-row semantics on random NULL-laced streams: a NULL key
+    or NULL timestamp on the state side never matches anything (equi-keys
+    don't match NULL, ts >= NULL is NULL), and a NULL-key or NULL-ts PROBE
+    survives with NULL state (LEFT). The twin is the quadratic scan with
+    exactly those guards."""
+    p_rows = [(k, _t(t) if t is not None else None, i) for i, (k, t) in enumerate(probes)]
+    s_rows = [(k, _t(t) if t is not None else None, i) for i, (k, t) in enumerate(states)]
+    p = spark.createDataFrame(p_rows, "k long, ts timestamp, pid long")
+    s = spark.createDataFrame(s_rows, "k long, ts timestamp, sid long")
+
+    expect = {}
+    for k, pt, pid in p_rows:
+        best = None  # max by (state_ts, sid) among matching states
+        if k is not None and pt is not None:
+            for sk, stt, sid in s_rows:
+                if (
+                    sk == k
+                    and stt is not None
+                    and stt <= pt
+                    and (best is None or (stt, sid) > best)
+                ):
+                    best = (stt, sid)
+        expect[pid] = best[1] if best else None
+
+    got = {
+        r["pid"]: r["sid_state"]
+        for r in temporal.asof_join(
+            p, s, on="k", state_cols=["sid"], tiebreak_col="sid"
+        ).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------- recrawl scheduling, NULL-laced
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.integers(0, 5),
+            st.sampled_from([None, "a", "b"]),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    tiers=st.sampled_from(
+        [
+            ((800, 3_600), (400, 86_400), (100, 604_800), (0, 2_592_000)),
+            ((100, 604_800), (800, 3_600)),  # ascending, no 0 threshold
+            ((500, 10),),  # single tier, fallback below it
+        ]
+    ),
+)
+def test_recrawl_schedule_matches_python_twin_random(spark, obs, tiers):
+    """Change-rate estimation on random NULL-laced observation histories with
+    timestamp ties: a NULL signature IS DISTINCT FROM any non-NULL neighbour
+    (and not from another NULL), ties break on obs_id, and a rate below every
+    tier threshold books the LOWEST tier's interval. The twin is the literal
+    per-URL walk — Python `!=` on None is exactly IS DISTINCT FROM."""
+    import calendar
+
+    from crawler_service_spark.operators.recrawl import recrawl_schedule
+
+    rows = [(i, url, T0 + timedelta(seconds=t), sig) for i, (url, t, sig) in enumerate(obs)]
+    df = spark.createDataFrame(
+        rows, "obs_id long, url_id long, ts timestamp, content_sig string"
+    )
+
+    by_url: dict[int, list] = {}
+    for oid, url, ts, sig in rows:
+        epoch = calendar.timegm(ts.timetuple())
+        by_url.setdefault(url, []).append((epoch, oid, sig))
+    expect = {}
+    ordered = sorted(tiers)
+    for url, o in by_url.items():
+        o.sort(key=lambda r: (r[0], r[1]))
+        changes = sum(1 for a, b in zip(o, o[1:]) if a[2] != b[2])
+        n = len(o)
+        rate = (1000 * changes) // (n - 1) if n > 1 else 0
+        interval = ordered[0][1]
+        for th, s in ordered:
+            if rate >= th:
+                interval = s
+        expect[url] = (n, changes, rate, interval, o[-1][0] + interval)
+
+    got = {
+        r["url_id"]: (
+            r["n_obs"],
+            r["n_changes"],
+            r["change_permille"],
+            r["revisit_s"],
+            r["next_fetch_epoch_s"],
+        )
+        for r in recrawl_schedule(df, tiers=tiers).collect()
+    }
+    assert got == expect
+
+
+# ------------------------------------------- host budgets, junk delays
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["h0", "h1", "h2"]),
+            st.sampled_from([None, -1.0, 0.0, 1e-9, 0.5, 1.0, 3.0, 7.5]),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    iteration_seconds=st.sampled_from([1.0, 10.0, 60.0]),
+)
+def test_host_budgets_matches_python_twin_random(spark, rows, iteration_seconds):
+    """Per-host budget on random robots rows where several rules per host
+    disagree: the max declared delay governs; a host whose governing delay is
+    absent, zero, junk-negative, or small enough to overflow the budget is
+    UNthrottled (int32 max), never booked the minimum. Twin is the literal
+    per-host max + floor with the same saturation."""
+    import math
+
+    df = spark.createDataFrame(
+        [(h, "", True, d) for h, d in rows],
+        "host string, path_prefix string, allow boolean, crawl_delay_s double",
+    )
+
+    expect = {}
+    for h in {h for h, _ in rows}:
+        ds = [d for hh, d in rows if hh == h and d is not None]
+        d = max(ds) if ds else None
+        if d is None or d <= 0:
+            expect[h] = 2147483647
+        else:
+            expect[h] = min(max(1, math.floor(iteration_seconds / d)), 2147483647)
+
+    got = {
+        r["host"]: r["host_budget"]
+        for r in politeness.host_budgets(df, iteration_seconds).collect()
+    }
+    assert got == expect

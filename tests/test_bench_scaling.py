@@ -2,11 +2,16 @@
 
 Two consecutive rounds shipped host-noise artifacts as the official
 BENCH record (r03 headline, r04 scaling 0.424 vs judge 0.833); bench.py
-grew a defense — interleaved best-of reps, a third-rep escalation when
-the best-of-2 would fail the north-rule >=0.8 gate, a raw host compute
-probe recorded alongside, and a host-ceiling normalization. These tests
-pin that machinery with a mocked run_saturated so a refactor can't
-silently drop the escalation or the normalization fields.
+grew a defense — interleaved best-of reps, rep-at-a-time escalation (cap
+4) whenever the best-of would fail the north-rule >=0.8 gate or read
+super-linear, a raw host compute probe recorded alongside, and a
+host-ceiling normalization. Under this host's ONE-SIDED noise
+(congestion only inflates walls) the per-arm minimum is the
+least-contaminated reading, so best-of stays the official estimator on
+the low side; the per-rep median is reserved for the super-linear
+pairing-artifact direction. These tests pin that machinery with a
+mocked run_saturated so a refactor can't silently drop the escalation,
+the estimator asymmetry, or the normalization fields.
 """
 
 from __future__ import annotations
@@ -164,17 +169,62 @@ def test_headline_crawl_is_best_of_2_with_full_trail(monkeypatch, capsys):
     assert rec["crawl"]["throughput_urls_per_sec"] == 285.1
 
 
-def test_implausible_best_of_falls_back_to_per_rep_median(monkeypatch, capsys):
-    # Congested big-arm runs drive best-of under 0.7 even after 3 reps ->
-    # the official cell must switch to the drift-cancelling per-rep median
-    # and say so in the estimator field.
+def test_sustained_low_reading_escalates_to_cap_and_keeps_best_of(monkeypatch, capsys):
+    # Consistently low reps (every arm agrees) escalate one rep at a time to
+    # the 4-rep cap, then the official cell reports the best-of pairing
+    # AS-IS: a sustained low reading is either all-session congestion
+    # (probe + steal + rep_trail carry that evidence) or a REAL scaling
+    # deficiency — the estimator must not launder it. The retired low-side
+    # median fallback could only read lower than best-of here (it turned a
+    # 0.526 pairing into an 0.412 official cell on a session whose
+    # quiet-host re-run read 0.83+).
     walls = {
-        (2, 0): 100.0, (8, 0): 40.0,  # 0.625
-        (2, 1): 102.0, (8, 1): 41.0,  # 0.622
-        (2, 2): 101.0, (8, 2): 40.5,  # 0.623
+        (2, 0): 100.0, (8, 0): 40.0,   # 0.625
+        (2, 1): 102.0, (8, 1): 41.0,   # 0.622
+        (2, 2): 101.0, (8, 2): 40.5,   # 0.623
+        (2, 3): 100.5, (8, 3): 40.2,   # 0.625
     }
     rec, calls = _run_scaling(monkeypatch, capsys, walls)
     s = rec["scaling"]
-    assert len(calls) == 6
+    assert len(calls) == 8 and len(s["rep_trail"]) == 4
+    assert s["estimator"] == "best-of"
+    assert s["efficiency"] == 0.625  # 100.0 / (4 * 40.0)
+    assert "recheck" in s["host_probe"]
+
+
+def test_bursty_congestion_recovers_via_escalation(monkeypatch, capsys):
+    # Bursty congestion poisons the 4n arm for three straight reps (the
+    # r05 observed shape: per-rep efficiencies wildly mixed, steal not
+    # always registering); the fourth rep catches a clean 4n window and
+    # the per-arm minima recover the true ~0.9 pairing. One probe recheck,
+    # not one per escalation.
+    walls = {
+        (2, 0): 160.0, (8, 0): 70.0,   # 4n congested: 0.571
+        (2, 1): 162.0, (8, 1): 72.0,   # still congested: 0.563
+        (2, 2): 161.0, (8, 2): 71.0,   # still congested: 0.567
+        (2, 3): 160.5, (8, 3): 44.0,   # clean 4n window
+    }
+    rec, calls = _run_scaling(monkeypatch, capsys, walls)
+    s = rec["scaling"]
+    assert len(calls) == 8 and len(s["rep_trail"]) == 4
+    assert s["estimator"] == "best-of"
+    assert s["efficiency"] == 0.909  # 160.0 / (4 * 44.0)
+    assert "recheck" in s["host_probe"]
+
+
+def test_superlinear_best_of_falls_back_to_per_rep_median(monkeypatch, capsys):
+    # A best-of pairing ABOVE 1.0 is the pairing artifact direction (every
+    # n-arm run contaminated, some 4n window clean): after the 4-rep cap
+    # the official cell must switch to the drift-cancelling per-rep median
+    # and say so in the estimator field.
+    walls = {
+        (2, 0): 158.0, (8, 0): 38.0,   # 1.039
+        (2, 1): 160.0, (8, 1): 38.5,   # 1.039
+        (2, 2): 159.0, (8, 2): 38.2,   # 1.041
+        (2, 3): 161.0, (8, 3): 38.8,   # 1.037
+    }
+    rec, calls = _run_scaling(monkeypatch, capsys, walls)
+    s = rec["scaling"]
+    assert len(calls) == 8
     assert s["estimator"] == "per-rep-median"
-    assert s["efficiency"] == sorted(s["per_rep_efficiency"])[1]
+    assert s["efficiency"] == sorted(s["per_rep_efficiency"])[2]

@@ -37,20 +37,27 @@ def connected_components(
 
     ``edges`` is undirected input (each pair listed once is enough).
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # materialize the (possibly expensive) edge lineage ONCE — labels and
+    # the propagation frame both derive from this checkpoint, so e.g. an
+    # LSH-verified-pairs input is computed a single time, not once per
+    # consumer (same guard as connected_components_star's edges0).
+    # Dirty-row policy (matches asof_join): a NULL endpoint identifies no
+    # node, so the whole edge row is dropped — but a SELF-LOOP-only node
+    # (a self-linking page) still belongs to the output, so self-loops are
+    # removed from the propagation frame only, after the node universe.
+    sym0 = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .localCheckpoint()
     )
-    # node universe from the RAW endpoints: a node whose only edges are
-    # self-loops (a self-linking page) still belongs to the output — as in
-    # connected_components_star, which derives `nodes` before its self-loop
-    # filter. Self-loops are then dropped from the propagation frame only.
     labels = (
-        sym.select(F.col("a").alias("node"))
+        sym0.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
-    sym = sym.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
+    sym = sym0.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
 
     converged = False
     for _ in range(max_rounds):
@@ -196,8 +203,14 @@ def connected_components_star(
     """
     # materialize the (possibly expensive) edge lineage ONCE — nodes and E
     # both derive from this frame, so e.g. an LSH-verified-pairs input is
-    # computed a single time, not once per consumer
-    edges0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    # computed a single time, not once per consumer. NULL-endpoint rows
+    # are dirty (they identify no node) and dropped whole, the same
+    # contract as the label-prop twin and asof_join.
+    edges0 = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .localCheckpoint()
+    )
     nodes = (
         edges0.select(F.col("a").alias("node"))
         .union(edges0.select(F.col("b").alias("node")))

@@ -68,8 +68,16 @@ def host_budgets(robots: DataFrame, iteration_seconds: float) -> DataFrame:
     delay -> 0 the floor diverges, so it gets the int32 max, not the
     minimum: non-ANSI Spark turns the 1/0.0 into NULL and
     ``greatest(1, NULL)`` would silently book the tightest budget for the
-    one host that asked for none (and ANSI mode would throw instead)."""
-    delay = F.col("crawl_delay_s")
+    one host that asked for none (and ANSI mode would throw instead).
+
+    A host whose rows carry only NULL delays (robots present, no
+    Crawl-delay directive — ``parse_robots`` coalesces this at parse time,
+    but hand-built frames may not) inherits the parser's
+    ``DEFAULT_DELAY_S``: "no directive" means the crawler's own default
+    pacing, NOT unthrottled — only an explicit <= 0 declaration is."""
+    from .robots import DEFAULT_DELAY_S
+
+    delay = F.coalesce(F.col("crawl_delay_s"), F.lit(float(DEFAULT_DELAY_S)))
     return (
         robots.groupBy("host")
         .agg(F.max("crawl_delay_s").alias("crawl_delay_s"))

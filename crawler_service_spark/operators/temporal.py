@@ -88,8 +88,12 @@ def asof_join(
         # NULL-key PROBES stay: they ride their (empty) partition and come
         # back with NULL state, the LEFT contract.
         F.col("__t").isNotNull()
+        # initializer keeps on=[] (keyless/global as-of) working: the
+        # conjunction over zero keys is vacuously true
         & functools.reduce(
-            lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]
+            lambda a, b: a & b,
+            [F.col(k).isNotNull() for k in keys],
+            F.lit(True),
         )
     )
     probe = probes.select(

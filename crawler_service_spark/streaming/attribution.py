@@ -135,10 +135,12 @@ def run_attribution_stream(
     stream-stream interval join into a parquet sink (AvailableNow — the
     long-poll drain shape every other streaming harness here uses).
     Exactly-once: checkpoint dedupes inputs, the sink commit log fences
-    output. Returns the number of micro-batches committed by this
-    checkpoint so far (last batch id + 1 — cumulative across resumed
-    drains; ``len(recentProgress)`` would silently cap at the
-    numRecentProgressUpdates retention, default 100, on a long drain)."""
+    output. Returns the number of micro-batches durably committed by this
+    checkpoint so far, read from its commit log — cumulative across
+    resumed drains. The log is the only honest source: ``recentProgress``
+    caps at the retention limit (default 100) on a long drain, and
+    ``lastProgress`` can carry a no-data idle event whose batchId was
+    never committed (observed: progress batchId 2 with commits {0, 1})."""
     clicks = (
         spark.readStream.schema(CLICK_SCHEMA).parquet(clicks_dir)
     )
@@ -156,5 +158,19 @@ def run_attribution_stream(
         .start()
     )
     q.awaitTermination()
-    last = q.lastProgress
-    return 0 if last is None else int(last["batchId"]) + 1
+    return committed_batches(checkpoint_dir)
+
+
+def committed_batches(checkpoint_dir: str) -> int:
+    """Micro-batches durably committed by a checkpoint (last id + 1), read
+    from its ``commits/`` log — the ground truth that survives restarts and
+    does not depend on any live query object."""
+    import os
+
+    commits = os.path.join(checkpoint_dir, "commits")
+    ids = (
+        [int(n) for n in os.listdir(commits) if n.isdigit()]
+        if os.path.isdir(commits)
+        else []
+    )
+    return max(ids) + 1 if ids else 0

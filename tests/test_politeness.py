@@ -271,3 +271,26 @@ def test_crawl_delay_zero_is_unthrottled_not_minimum(spark):
     assert budgets["tiny.com"] == 2147483647
     assert budgets["neg.com"] == 2147483647
     assert budgets["a.com"] == 10  # the normal path is untouched
+
+
+def test_absent_crawl_delay_inherits_parser_default(spark):
+    """Robots rows with a NULL crawl_delay_s (robots present, no Crawl-delay
+    directive — possible on hand-built frames; parse_robots coalesces at
+    parse time) inherit DEFAULT_DELAY_S: default pacing, NOT the int32-max
+    unthrottled budget reserved for an explicit <= 0 declaration. A declared
+    delay on any sibling row still governs via the per-host max."""
+    rows = [
+        ("nodirective.com", "", True, None),
+        ("mixed.com", "", True, None),
+        ("mixed.com", "/a", True, 2.0),
+        ("zero.com", "", True, 0.0),
+    ]
+    budgets = {
+        r["host"]: r["host_budget"]
+        for r in politeness.host_budgets(
+            spark.createDataFrame(rows, ROBOTS_SCHEMA), 10.0
+        ).collect()
+    }
+    assert budgets["nodirective.com"] == 10  # floor(10 / DEFAULT_DELAY_S=1.0)
+    assert budgets["mixed.com"] == 5  # declared max 2.0 governs
+    assert budgets["zero.com"] == 2147483647  # explicit 0 stays unthrottled

@@ -319,3 +319,29 @@ def test_self_loop_only_node_kept_by_both_cc_variants(spark):
     }
     assert lp == want
     assert st == want
+
+
+def test_null_endpoint_edges_dropped_by_both_cc_variants(spark):
+    """A NULL endpoint identifies no node: the whole edge row is dirty and
+    dropped (the asof_join NULL-key contract applied to graphs) — it must
+    not surface a (NULL, NULL) output row or pull its non-NULL partner into
+    the node universe. Both CC variants share the policy."""
+    from crawler_service_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(None, 5), (4, None), (None, None), (1, 2)], "src long, dst long"
+    )
+    want = {(1, 1), (2, 1)}
+    lp = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    st = {
+        (r["node"], r["component"])
+        for r in connected_components_star(edges).collect()
+    }
+    assert lp == want
+    assert st == want

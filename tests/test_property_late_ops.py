@@ -334,11 +334,15 @@ def test_recrawl_schedule_matches_python_twin_random(spark, obs, tiers):
 )
 def test_host_budgets_matches_python_twin_random(spark, rows, iteration_seconds):
     """Per-host budget on random robots rows where several rules per host
-    disagree: the max declared delay governs; a host whose governing delay is
-    absent, zero, junk-negative, or small enough to overflow the budget is
-    UNthrottled (int32 max), never booked the minimum. Twin is the literal
-    per-host max + floor with the same saturation."""
+    disagree: the max declared delay governs; a host whose governing delay
+    is zero, junk-negative, or small enough to overflow the budget is
+    UNthrottled (int32 max), never booked the minimum; a host with only
+    NULL delays (no Crawl-delay directive) inherits the parser's 1 s
+    default — "no directive" is default pacing, not unthrottled. Twin is
+    the literal per-host max + floor with the same saturation."""
     import math
+
+    from crawler_service_spark.operators.robots import DEFAULT_DELAY_S
 
     df = spark.createDataFrame(
         [(h, "", True, d) for h, d in rows],
@@ -348,8 +352,8 @@ def test_host_budgets_matches_python_twin_random(spark, rows, iteration_seconds)
     expect = {}
     for h in {h for h, _ in rows}:
         ds = [d for hh, d in rows if hh == h and d is not None]
-        d = max(ds) if ds else None
-        if d is None or d <= 0:
+        d = max(ds) if ds else DEFAULT_DELAY_S
+        if d <= 0:
             expect[h] = 2147483647
         else:
             expect[h] = min(max(1, math.floor(iteration_seconds / d)), 2147483647)

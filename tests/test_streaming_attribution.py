@@ -113,3 +113,36 @@ def test_stream_interval_join_evicts_stale_state(spark, tmp_path):
         cdir, sdir, ckpt, sink, spark, window_seconds=WINDOW_S, watermark=WATERMARK
     )
     assert _sink_set(spark, sink) == {(9, 90, 900)}
+
+
+def test_batch_count_cumulative_across_empty_resumed_drain(spark, tmp_path):
+    """The return value is 'micro-batches durably committed by this
+    checkpoint so far', read from the commit log: it must stay cumulative
+    across resumed drains, never reset, and never count a no-data idle
+    progress event whose batch was never committed (lastProgress can report
+    batchId 2 while the commit log holds {0, 1})."""
+    from crawler_service_spark.streaming.attribution import committed_batches
+
+    cdir, sdir = str(tmp_path / "clicks"), str(tmp_path / "signups")
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    os.makedirs(cdir)
+    os.makedirs(sdir)
+    _write(spark, cdir, [(1, T0, 10)])
+    _write(spark, sdir, [(1, T0, 100)])
+
+    n1 = run_attribution_stream(
+        cdir, sdir, ckpt, sink, spark,
+        window_seconds=WINDOW_S, watermark=WATERMARK,
+    )
+    assert n1 >= 1
+    assert committed_batches(ckpt) == n1
+    # nothing new: the resumed drain stays cumulative (monotone, not 0;
+    # a stateful resume MAY commit one watermark-bookkeeping batch)
+    n2 = run_attribution_stream(
+        cdir, sdir, ckpt, sink, spark,
+        window_seconds=WINDOW_S, watermark=WATERMARK,
+    )
+    assert n1 <= n2 <= n1 + 1
+    assert committed_batches(ckpt) == n2
+    # no checkpoint at all -> zero, not an exception
+    assert committed_batches(str(tmp_path / "nonexistent")) == 0

@@ -160,3 +160,24 @@ def test_asof_join_null_key_rows_never_match(spark):
     assert len(rows) == 2  # LEFT: the NULL-key probe row itself survives
     assert got[100] is None
     assert got[101] == 8
+
+
+def test_asof_join_keyless_global_lookup(spark):
+    """on=[] is the keyless/global as-of: every probe gains the most recent
+    prior-or-simultaneous state across the WHOLE state stream (one global
+    window). The NULL-key filter's reduce must not choke on zero keys."""
+    p = spark.createDataFrame(
+        [(_ts("2026-01-01 10:00:00"), 100),
+         (_ts("2026-01-01 08:00:00"), 101)],
+        "ts timestamp, pid long",
+    )
+    s = spark.createDataFrame(
+        [(_ts("2026-01-01 09:00:00"), 7),
+         (_ts("2026-01-01 07:00:00"), 8)],
+        "ts timestamp, sid long",
+    )
+    got = {
+        r["pid"]: r["sid_s"]
+        for r in asof_join(p, s, on=[], state_cols=["sid"], suffix="_s").collect()
+    }
+    assert got == {100: 7, 101: 8}

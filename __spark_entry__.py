@@ -3121,9 +3121,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": f"""
             WITH sh AS ({_SHINGLES}),
-            sizes AS (SELECT doc_id, count(*) AS sh_count FROM sh GROUP BY doc_id),
             freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
             kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle) WHERE df <= 1000),
+            -- sizes over the SAME post-hot-shingle universe as the intersection
+            -- (consistent-set semantics: identical docs score 1000 regardless of
+            -- shared boilerplate) — mirrors docdedup.ngram_jaccard_pairs
+            sizes AS (SELECT doc_id, count(*) AS sh_count FROM kept GROUP BY doc_id),
             inter AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
                 FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -36,7 +36,8 @@ pre-compaction chain untouched, so time travel and resume are unaffected.
 
 All bloom hash material is computed JVM-side (two independent xxhash64 streams);
 Python only touches int64 numpy arrays inside Arrow-batched grouped UDFs
-(Kirsch-Mitzenmacher double hashing: pos_i = h1 + i*h2 mod m).
+(Kirsch-Mitzenmacher double hashing: pos_i = h1 + i*(h2|1) mod m, i = 1..k —
+the i=0 probe is skipped because h1's low bits double as the bucket id).
 """
 
 from __future__ import annotations
@@ -52,10 +53,18 @@ _H2_SALT = 0x9E3779B9  # second, independent hash stream: xxhash64(url, salt)
 
 
 def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
-    """(n, k) bit positions via double hashing; uint64 wraparound is fine."""
+    """(n, k) bit positions via double hashing; uint64 wraparound is fine.
+
+    Probes start at stride multiple 1, NOT 0: the bucket selector is
+    ``pmod(h1, n_buckets)``, so within a bucket h1's low bits are constant —
+    a probe at bare ``h1 mod m`` (both powers of two) could only ever touch
+    1/n_buckets of the bit array, saturating early and silently degrading
+    the filter to k-1 effective hashes. The stride is forced odd so it is
+    coprime to the power-of-two ``m`` (never a degenerate zero stride, and
+    the k probe positions are distinct)."""
     a = h1.astype(np.uint64)
-    b = h2.astype(np.uint64)
-    ks = np.arange(k, dtype=np.uint64)[None, :]
+    b = h2.astype(np.uint64) | np.uint64(1)
+    ks = np.arange(1, k + 1, dtype=np.uint64)[None, :]
     return ((a[:, None] + ks * b[:, None]) % np.uint64(m)).astype(np.int64)
 
 
@@ -297,7 +306,15 @@ class BloomSeenFilter(_DeltaFilterBase):
 def _ck_fp_i1_i2(h1: np.ndarray, h2: np.ndarray, B: int):
     Bu = np.uint64(B)
     fp = (h2.astype(np.uint64) % np.uint64(65535) + np.uint64(1)).astype(np.uint16)
-    i1 = (h1.astype(np.uint64) % Bu).astype(np.int64)
+    # xorshift before the mod: the filter-bucket selector is pmod(h1, n_buckets),
+    # so within a bucket h1's low bits are constant — a bare h1 mod B (both
+    # powers of two) would pin i1 to 1/n_buckets of the slots, inflating
+    # eviction/overflow rates. Folding the high bits in decorrelates i1 from
+    # the bucket id while staying a pure function of h1 (insert/probe/delete
+    # all derive the identical index).
+    a = h1.astype(np.uint64)
+    a = a ^ (a >> np.uint64(32))
+    i1 = (a % Bu).astype(np.int64)
     i2 = (
         (i1.astype(np.uint64) ^ (fp.astype(np.uint64) * np.uint64(0x5BD1E995))) % Bu
     ).astype(np.int64)

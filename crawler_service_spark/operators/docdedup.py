@@ -76,6 +76,39 @@ def shingles(
     return out.distinct() if distinct else out
 
 
+def _jaccard_scored(
+    inter: DataFrame,
+    sizes_a: DataFrame,
+    sizes_b: DataFrame,
+    threshold_permille: int,
+) -> DataFrame:
+    """Single-sourced Jaccard scoring shared by every verify path:
+    given ``inter(doc_a, doc_b, inter)`` plus per-side set sizes
+    ``sizes_a(doc_a, size_a)`` / ``sizes_b(doc_b, size_b)`` computed over
+    the SAME shingle universe as the intersection, emit
+    (doc_a, doc_b, jaccard_permille = div(1000*inter, |A|+|B|-inter))
+    filtered at the threshold — integer-exact for the DuckDB oracle."""
+    return (
+        inter.join(sizes_a, "doc_a")
+        .join(sizes_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("div(1000 * inter, size_a + size_b - inter)").alias("jaccard_permille"),
+        )
+        .filter(F.col("jaccard_permille") >= threshold_permille)
+    )
+
+
+def _sizes_ab(sizes: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(doc_id, sh_count) -> the (doc_a, size_a) / (doc_b, size_b) views
+    _jaccard_scored joins against when both pair sides size from one corpus."""
+    return (
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("sh_count").alias("size_a")),
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("sh_count").alias("size_b")),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -87,11 +120,19 @@ def ngram_jaccard_pairs(
 
     jaccard_permille = div(1000*inter, |A|+|B|-inter) keeps the output
     integer-exact for the DuckDB oracle.
+
+    Set semantics are CONSISTENT under the hot-shingle cut: ultra-frequent
+    (df > max_shingle_freq) shingles are removed from the universe — from
+    doc sizes AND intersections alike — so two identical docs stay at
+    jaccard 1000 no matter how much boilerplate they share. (Sizing from
+    the unfiltered sets while intersecting the filtered ones would
+    systematically underestimate Jaccard for boilerplate-heavy docs and
+    silently drop true near-duplicates.)
     """
     sh = shingles(docs, n=n, text_col=text_col)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sh_count"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sh = sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sh_count"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -100,18 +141,7 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sh_count").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sh_count").alias("size_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr("div(1000 * inter, size_a + size_b - inter)").alias("jaccard_permille"),
-        )
-        .filter(F.col("jaccard_permille") >= threshold_permille)
-    )
+    return _jaccard_scored(inter, *_sizes_ab(sizes), threshold_permille)
 
 
 MINHASH_P = 2147483647  # Mersenne prime 2^31-1: a*h+b stays < 2^62, no overflow
@@ -156,6 +186,12 @@ def minhash_buckets(
 
     In a stored-index deployment this frame IS the persisted minhash index —
     ``minhash_incremental_dups`` joins a new batch's buckets against it."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a multiple of bands ({bands}): "
+            "trailing signature hashes would be computed but never banded, "
+            "silently lowering recall below the configured banding probability"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes=num_hashes, n=n, text_col=text_col)
     band_cols = [
@@ -224,18 +260,7 @@ def minhash_verified_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sh_count").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sh_count").alias("size_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr("div(1000 * inter, size_a + size_b - inter)").alias("jaccard_permille"),
-        )
-        .filter(F.col("jaccard_permille") >= threshold_permille)
-    )
+    return _jaccard_scored(inter, *_sizes_ab(sizes), threshold_permille)
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -513,16 +538,7 @@ def minhash_incremental_dups(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    verified = (
-        inter.join(sizes_a, "doc_a")
-        .join(sizes_b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr("div(1000 * inter, size_a + size_b - inter)").alias("jaccard_permille"),
-        )
-        .filter(F.col("jaccard_permille") >= threshold_permille)
-    )
+    verified = _jaccard_scored(inter, sizes_a, sizes_b, threshold_permille)
     w = Window.partitionBy("doc_a").orderBy(
         F.col("jaccard_permille").desc(), F.col("doc_b").asc()
     )

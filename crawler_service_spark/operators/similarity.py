@@ -381,12 +381,24 @@ def lsh_band_buckets(
     stay far below 2^63, so this is the same integer contract as the JVM
     expression form in ``int_lsh_bits_col``, which a 1024-literal plane
     matrix would otherwise unroll into a codegen-hostile expression tree).
+
+    Dirty rows (NULL / wrong-length / NULL-component vectors) are skipped —
+    they cannot be bucketed, and one such row in a 10^10-row corpus must not
+    kill the whole job (np.stack over a batch containing None/ragged arrays
+    raises; this mirrors pq_encode_udf's NULL-codes rule and the null-safe
+    JVM path in int_lsh_bucket_col).
     """
     from collections.abc import Iterator
 
     from ..plans.partitioning import widen
 
     plane_mat = np.array(planes, dtype=np.int64)  # (n_planes, dim)
+    if len(planes) % band_bits != 0:
+        raise ValueError(
+            f"len(planes) ({len(planes)}) must be a multiple of band_bits "
+            f"({band_bits}): trailing planes would be computed but never banded"
+        )
+    dim = plane_mat.shape[1]
     n_bands = len(planes) // band_bits
     weights = 1 << np.arange(band_bits, dtype=np.int64)
 
@@ -394,9 +406,18 @@ def lsh_band_buckets(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mat = np.stack(pdf[qv_col].to_numpy()).astype(np.int64)
+            rows = pdf[qv_col].tolist()
+            keep = [
+                i for i, r in enumerate(rows)
+                if r is not None
+                and len(r) == dim
+                and not np.isnan(np.asarray(r, dtype=np.float64)).any()
+            ]
+            if not keep:
+                continue
+            mat = np.asarray([rows[i] for i in keep], dtype=np.int64)
             bits = (mat @ plane_mat.T) > 0  # exact integer matmul
-            ids = pdf[id_col].to_numpy()
+            ids = pdf[id_col].to_numpy()[keep]
             frames = [
                 pd.DataFrame(
                     {
@@ -503,7 +524,11 @@ def with_lsh_bucket(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Add an integer ``bucket`` column = sign bits of R^T v (random
-    hyperplane LSH). One numpy matmul per Arrow batch."""
+    hyperplane LSH). One numpy matmul per Arrow batch.
+
+    Dirty rows (NULL / wrong-length / NaN-component vectors) are DROPPED —
+    they have no meaningful bucket, and np.stack over a batch containing
+    None/ragged arrays would otherwise kill the task."""
     from pyspark.sql import types as T
 
     planes = _hyperplanes(dim, n_planes, seed)
@@ -517,10 +542,19 @@ def with_lsh_bucket(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            rows = pdf[vec_col].tolist()
+            keep = [
+                i for i, r in enumerate(rows)
+                if r is not None
+                and len(r) == dim
+                and not np.isnan(np.asarray(r, dtype=np.float64)).any()
+            ]
+            if not keep:
+                continue
+            pdf = pdf.iloc[keep].copy()
+            mat = np.asarray([rows[i] for i in keep], dtype=np.float64)
             bits = (mat @ planes) > 0
             weights = (1 << np.arange(n_planes, dtype=np.int64))
-            pdf = pdf.copy()
             pdf["bucket"] = bits @ weights
             yield pdf
 
@@ -633,10 +667,16 @@ def pq_encode_udf(codebook: list[list[list[int]]]):
     def enc(qv: pd.Series) -> pd.Series:
         rows = qv.tolist()
         # null/ragged rows encode to None (the JVM expression encoder yields
-        # null codes there; a dirty embedding row must not kill the task)
+        # null codes there; a dirty embedding row must not kill the task).
+        # NULL ELEMENTS arrive from Arrow as NaN in a float64 ndarray — `v is
+        # None` never fires there, and int64-casting NaN silently yields
+        # INT64_MIN garbage codes — so validity is a NaN check, not an
+        # identity check.
         valid = [
             i for i, r in enumerate(rows)
-            if r is not None and len(r) == dim and not any(v is None for v in r)
+            if r is not None
+            and len(r) == dim
+            and not np.isnan(np.asarray(r, dtype=np.float64)).any()
         ]
         out: list = [None] * len(rows)
         if valid:

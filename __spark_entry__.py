@@ -1456,17 +1456,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     training mix, the multimodal near-dup-frames pipeline — never
     driver-checked), ann_pq_topk stays in-window because its oracle gained
     the dirty-row predicate this round (rule 3), the 12 queries whose r03
-    green rows go stale after this round rotate back in (rule 2), and 42
-    r04-green unchanged veterans rotate to tail positions 51-92
-    (c5_mime_sniff, f4_ftp_dir_guess, j6_group_edges,
-    j6_connected_components, j6_cc_star, u4_frontier_merge,
-    g2_families_grouped, and l1_topk displaced from the standing window
-    by the eight late-round queries,
-    (c9_json_extract, g4_family_envelope, dedup_exact, dedup_ngram_jaccard,
-    dedup_minhash_lsh, pipeline_training_mix, dedup_incremental,
-    dedup_embedding_pairs,
-    text_quality, text_langid, text_keyword_topk, a7, a8 displaced this
-    round to make window room)."""
+    green rows go stale after this round rotate back in (rule 2), and the
+    last seven window slots hold the queries whose backing functions the
+    round-5 fix batches touched (rule 3: w2_host_budget_cap,
+    dedup_ngram_jaccard, j6_connected_components, j6_cc_star, dedup_exact,
+    dedup_incremental, pipeline_training_mix — a banked green no longer
+    certifies a changed query). 42 r04-green unchanged veterans hold tail
+    positions 51-92; dedup_minhash_lsh stays banked despite a touched
+    backing function — the touch is a behavior-neutral config-validation
+    raise and three in-window siblings certify the same function
+    (REGISTRY.md, round-5 section, has the argument)."""
     return {
         # -- new round 5, late session (packing / redirects / span scrub) ---
         "pipeline_pack_sequences": _pipeline_pack_sequences,
@@ -1516,9 +1515,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_quality": _text_gopher_quality,
         "text_repetition": _text_repetition,
         "text_decontaminate": _text_decontaminate,
-        # -- standing window ------------------------------------------------
+        # -- changed round 5 (rule 3): backing functions touched late in the
+        # round, so banked r04 rows no longer certify them ------------------
+        "w2_host_budget_cap": _w2_host_budget_cap,       # host_budgets: crawl-delay NULL/<=0 semantics
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,     # consistent-set sizing + oracle change
+        "j6_connected_components": _j6_connected_components,  # NULL-endpoint edge drop
+        "j6_cc_star": _j6_cc_star,                       # NULL-endpoint edge drop
+        "dedup_exact": _dedup_exact,                     # exact_dedup gained hash_col param
+        "dedup_incremental": _dedup_incremental,         # _jaccard_scored refactor
+        "pipeline_training_mix": _pipeline_training_mix,  # split into shared gated/sample helpers
+        # -- tail (positions 51+): r04 green rows banked, unchanged round 5 -
         "w1_politeness_rank": _w1_politeness_rank,
-        "w2_host_budget_cap": _w2_host_budget_cap,
         "robots_parse": _robots_parse,
         "a1_class_tally": _a1_class_tally,
         "f3_compressed_predicate": _f3_compressed_predicate,
@@ -1527,23 +1534,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c5_mime_sniff": _c5_mime_sniff,
         "f4_ftp_dir_guess": _f4_ftp_dir_guess,
         "j6_group_edges": _j6_group_edges,
-        "j6_connected_components": _j6_connected_components,
-        "j6_cc_star": _j6_cc_star,
         "u4_frontier_merge": _u4_frontier_merge,
         "g2_families_grouped": _g2_families_grouped,
         "l1_topk": _l1_topk,
-        # -- tail (positions 51+): r04 green rows banked, unchanged round 5 -
         "u1_union_distinct": _u1_union_distinct,
         "u3_except": _u3_except,
         "c1_extension_class": _c1_extension_class,
         "c4_hash": _c4_hash,
         "c9_json_extract": _c9_json_extract,
         "g4_family_envelope": _g4_family_envelope,
-        "dedup_exact": _dedup_exact,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        # dedup_minhash_lsh's backing (minhash_buckets) was touched by a
+        # behavior-neutral config-validation raise (dead code at the
+        # registered 16/4 banding); the same function is certified by three
+        # in-window r05 siblings (dedup_minhash_verified, dedup_minhash_cluster,
+        # dedup_incremental), so its banked r04 row stands (REGISTRY.md note).
         "dedup_minhash_lsh": _dedup_minhash_lsh,
-        "pipeline_training_mix": _pipeline_training_mix,
-        "dedup_incremental": _dedup_incremental,
         "dedup_embedding_pairs": _dedup_embedding_pairs,
         "text_quality": _text_quality,
         "text_langid": _text_langid,

@@ -36,8 +36,9 @@ pre-compaction chain untouched, so time travel and resume are unaffected.
 
 All bloom hash material is computed JVM-side (two independent xxhash64 streams);
 Python only touches int64 numpy arrays inside Arrow-batched grouped UDFs
-(Kirsch-Mitzenmacher double hashing: pos_i = h1 + i*(h2|1) mod m, i = 1..k —
-the i=0 probe is skipped because h1's low bits double as the bucket id).
+(Kirsch-Mitzenmacher double hashing: pos_i = g1 + i*(h2|1) mod m, i = 1..k,
+g1 = h1 ^ (h1 >> 32) — h1's low bits double as the bucket id, so they are
+folded with the unconstrained high bits before probing; see _positions).
 """
 
 from __future__ import annotations
@@ -55,14 +56,21 @@ _H2_SALT = 0x9E3779B9  # second, independent hash stream: xxhash64(url, salt)
 def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
     """(n, k) bit positions via double hashing; uint64 wraparound is fine.
 
-    Probes start at stride multiple 1, NOT 0: the bucket selector is
+    h1 is xorshift-folded before use: the bucket selector is
     ``pmod(h1, n_buckets)``, so within a bucket h1's low bits are constant —
     a probe at bare ``h1 mod m`` (both powers of two) could only ever touch
     1/n_buckets of the bit array, saturating early and silently degrading
-    the filter to k-1 effective hashes. The stride is forced odd so it is
-    coprime to the power-of-two ``m`` (never a degenerate zero stride, and
-    the k probe positions are distinct)."""
+    the filter to k-1 effective hashes. Nor do odd strides alone repair it:
+    ``i*(h2|1) ≡ 2^v(i) (mod 2^(v(i)+1))``, so every even probe index is
+    still pinned to a coset of the pinned base (measured FPR 0.058 vs the
+    0.034 ideal at kn/m≈1). Folding the unconstrained high bits into the
+    low bits makes the base uniform; simulated FPR then matches
+    ``(1-e^{-kn/m})^k`` to 3 decimals at both heavy and light load
+    (BASELINE.md round 5). The stride is still forced odd (coprime to the
+    power-of-two ``m`` — never degenerate-zero, k distinct positions) and
+    probes start at multiple 1, belt-and-braces with the fold."""
     a = h1.astype(np.uint64)
+    a = a ^ (a >> np.uint64(32))
     b = h2.astype(np.uint64) | np.uint64(1)
     ks = np.arange(1, k + 1, dtype=np.uint64)[None, :]
     return ((a[:, None] + ks * b[:, None]) % np.uint64(m)).astype(np.int64)

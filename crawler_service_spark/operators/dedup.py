@@ -39,6 +39,11 @@ Python only touches int64 numpy arrays inside Arrow-batched grouped UDFs
 (Kirsch-Mitzenmacher double hashing: pos_i = g1 + i*(h2|1) mod m, i = 1..k,
 g1 = h1 ^ (h1 >> 32) — h1's low bits double as the bucket id, so they are
 folded with the unconstrained high bits before probing; see _positions).
+
+Because base blobs bake positions into bytes while delta rows persist raw
+hashes, each table carries a ``position-scheme`` catalog marker; probing or
+updating under a different scheme than the blobs were folded with refuses
+loudly instead of silently false-negativing (see _check_scheme).
 """
 
 from __future__ import annotations
@@ -123,11 +128,50 @@ class _DeltaFilterBase:
     delta appends, compaction cadence, chain reads."""
 
     TABLE: str = ""
+    # Position-scheme version stamped on the table as a catalog marker.
+    # Delta rows persist raw (h1, h2) hashes — scheme-independent — but
+    # compacted BASE blobs bake bit/slot POSITIONS into bytes. A blob folded
+    # under one scheme and probed under another false-NEGATIVES silently
+    # (maybe_seen=False skips the exact anti-join), which is the one
+    # direction the filter contract forbids. Bump this string whenever
+    # _positions / _ck_fp_i1_i2 change shape.
+    SCHEME: str = ""
+    _SCHEME_MARKER = "position-scheme"
 
     def __init__(self, catalog: ManifestCatalog, n_buckets: int, compact_every: int):
         self.catalog = catalog
         self.n_buckets = n_buckets
         self.compact_every = compact_every
+
+    def _check_scheme(self, adopt: bool) -> None:
+        """Refuse to interpret base blobs written under a different position
+        scheme. Unmarked tables: an all-delta chain is portable (hashes, not
+        positions), so it is adopted in place — the marker is written on the
+        next update so future folds are certified; an unmarked chain that has
+        ever compacted (any ``overwrite`` commit) predates the marker and its
+        blobs' positions cannot be trusted — rebuild from the source of truth
+        (the exact seen-set table) instead of silently re-crawling."""
+        marker = self.catalog.read_marker(self.TABLE, self._SCHEME_MARKER)
+        if marker == self.SCHEME:
+            return
+        if marker is not None:
+            raise ValueError(
+                f"{self.TABLE}: persisted filter uses position scheme "
+                f"{marker!r} but this build writes {self.SCHEME!r}; base "
+                f"blobs are not portable across schemes (silent false "
+                f"negatives) — rebuild the filter from the exact seen set"
+            )
+        modes = self.catalog.commit_modes(self.TABLE)
+        if any(mode == "overwrite" for _cid, mode in modes):
+            raise ValueError(
+                f"{self.TABLE}: compacted base blobs predate the "
+                f"position-scheme marker, so the scheme they were folded "
+                f"under is unknown; refusing to probe (a scheme mismatch "
+                f"false-negatives silently) — rebuild the filter from the "
+                f"exact seen set"
+            )
+        if adopt:
+            self.catalog.write_marker(self.TABLE, self._SCHEME_MARKER, self.SCHEME)
 
     def _ver_and_compact(self) -> tuple[int, bool]:
         """Next row version (= manifest count, deterministic under resume:
@@ -163,6 +207,7 @@ class _DeltaFilterBase:
         """Append one packed delta row per touched bucket; every
         ``compact_every`` deltas, fold the whole chain (plus this batch) into
         fresh base blobs in a single overwrite commit."""
+        self._check_scheme(adopt=True)
         if self.catalog.has_commit(self.TABLE, commit_id):
             return  # idempotent re-run
         ver, compact = self._ver_and_compact()
@@ -214,6 +259,7 @@ class _DeltaFilterBase:
     def _probe_flags(self, candidates: DataFrame, upto: str | None) -> DataFrame:
         """Shared probe: fold each bucket's chain inside the cogrouped UDF,
         then vectorized membership -> ``maybe_seen``."""
+        self._check_scheme(adopt=False)
         chain = self.catalog.read(self.TABLE, upto=upto)
         if chain is None:
             return candidates.withColumn("maybe_seen", F.lit(False))
@@ -255,6 +301,8 @@ class BloomSeenFilter(_DeltaFilterBase):
     packed hash pairs OR-ed in at fold time (order-independent)."""
 
     TABLE = "seen_filters"
+    # v2 = xorshift-folded base + odd stride, probes i=1..k (BASELINE.md r5)
+    SCHEME = "bloom-pos-v2-xorfold"
 
     def __init__(
         self,
@@ -407,6 +455,8 @@ class CuckooSeenFilter(_DeltaFilterBase):
     """
 
     TABLE = "seen_cuckoo"
+    # v2 = xorshift-folded i1 slot index (same fold rationale as the bloom)
+    SCHEME = "cuckoo-slot-v2-xorfold"
     _KICKS = 500
 
     def __init__(

@@ -69,6 +69,27 @@ class ManifestCatalog:
             return []
         return sorted(f for f in os.listdir(d) if f.endswith(".json"))
 
+    # ---------------------------------------------------------------- markers
+    def write_marker(self, table: str, name: str, value: str) -> None:
+        """Atomically persist a small table-level marker (e.g. a storage
+        scheme version) beside the manifests. Markers live outside the
+        commit log on purpose: they describe how ALL of a table's payloads
+        must be interpreted, so they must be visible to every snapshot
+        (``upto=`` reads included) rather than travel with one commit."""
+        d = self._table_dir(table)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-marker-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(value)
+        os.rename(tmp, os.path.join(d, f"_marker-{name}"))
+
+    def read_marker(self, table: str, name: str) -> str | None:
+        path = os.path.join(self._table_dir(table), f"_marker-{name}")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return f.read()
+
     # ---------------------------------------------------------------- commits
     def has_commit(self, table: str, commit_id: str) -> bool:
         return any(m.endswith(f"-{commit_id}.json") for m in self._manifests(table))

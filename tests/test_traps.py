@@ -5,6 +5,9 @@ from __future__ import annotations
 
 import re
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
 from crawler_service_spark.functions.urls import (
     canonicalize_url_py,
     host_py,
@@ -176,6 +179,37 @@ def test_cap_per_template_is_exact_and_parallelism_invariant(spark):
         by_host[h] = by_host.get(h, 0) + 1
     assert by_host["cal.example.com"] == 5
     assert by_host["ok.example.com"] == 20
+
+
+_SEG = st.sampled_from(
+    ["a", "b", "page", "2021", "0007", "deadbeefcafe1234", "x9", "01", "items"]
+)
+_URL = st.builds(
+    lambda host, segs, q: "http://%s/%s%s" % (host, "/".join(segs), q),
+    st.sampled_from(["h0.example.com", "h1.example.com", "H2.Example.Com"]),
+    st.lists(_SEG, min_size=0, max_size=6),
+    st.sampled_from(["", "?k=1", "?k=2&s=deadbeefcafe1234", "?s=5", "#frag"]),
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_URL, min_size=1, max_size=40))
+def test_census_and_cap_match_twin_on_random_urls(spark, urls):
+    """Random hosts/segments/queries (digit runs, hex ids, fragments, mixed
+    case, duplicates): census stats and cap survivors equal the Python twin."""
+    df = spark.createDataFrame([(u,) for u in urls], "url string").repartition(5)
+    got = {
+        r["host"]: (
+            r["urls"], r["templates"], r["urls_per_template_permille"],
+            r["depth_max"], r["seg_repeat_max"], r["queries"], r["keysets"],
+            r["queries_per_keyset_permille"], r["trap_template"],
+            r["trap_cycle"], r["trap_depth"], r["trap_query"],
+        )
+        for r in host_trap_stats(df).collect()
+    }
+    assert got == _stats_py(urls)
+    got_cap = sorted(tuple(r) for r in cap_per_template(df, k=2, salt=4).collect())
+    assert got_cap == _cap_py(urls, k=2)
 
 
 def test_census_thresholds_are_parameters(spark):

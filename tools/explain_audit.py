@@ -235,6 +235,33 @@ def main() -> int:
             failures.append(("pq_topk_indexed", "TakeOrderedAndProject"))
             print(pq_plan)
 
+    # spider-trap per-template cap (operators/traps.py): the whole design is
+    # the plan shape — rank-limit pruning before both exchanges and the
+    # output distinct riding the window's partitioning, so a trap template
+    # never funnels into one reducer and the corpus shuffles exactly twice
+    from crawler_service_spark.operators.traps import cap_per_template
+
+    urls = spark.createDataFrame(
+        [(f"http://h{i % 3}.example.com/p/{i}",) for i in range(64)],
+        "url string",
+    )
+    cap_plan = formatted(cap_per_template(urls, k=5))
+    why = "map-side WindowGroupLimit prunes before the shuffle"
+    if "WindowGroupLimit" in cap_plan:
+        print(f"OK   trap_cap_per_template: {why}")
+    else:
+        failures.append(("trap_cap_per_template", why))
+        print(f"FAIL trap_cap_per_template: {why}")
+        print(cap_plan)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", cap_plan))
+    why = f"at most two exchanges (got {n_exchanges})"
+    if n_exchanges <= 2 and "CartesianProduct" not in cap_plan:
+        print(f"OK   trap_cap_per_template: {why}, no cartesian")
+    else:
+        failures.append(("trap_cap_per_template", why))
+        print(f"FAIL trap_cap_per_template: {why}")
+        print(cap_plan)
+
     # negative check: no CartesianProduct anywhere except the intentional
     # all-pairs embedding query
     for name in ["q1_pricing_summary", "j1_broadcast_enrich", "j5_seen_antijoin",

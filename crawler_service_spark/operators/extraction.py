@@ -80,3 +80,80 @@ def extract_text_py(html: bytes) -> str:
     mt = re.search(r"<title>(.*?)</title>", s)
     mp = re.search(r"<p>(.*?)</p>", s)
     return (mt.group(1) if mt else "") + "\n" + (mp.group(1) if mp else "")
+
+
+# --------------------------------------------------------------------------- #
+# anchor text (the link-context signal the href extractor drops)
+# --------------------------------------------------------------------------- #
+
+# same href core as HREF_PATTERN, extended to capture the anchor's first text
+# run; group 1 = href, group 2 = anchor text up to the next tag
+ANCHOR_PATTERN = r'<a\s[^>]*href="([^"]+)"[^>]*>([^<]*)'
+
+
+def extract_anchor_pairs(html) -> "F.Column":
+    """``array<struct<href, anchor>>`` in document order, JVM-side.
+
+    The reference extracts hrefs only (HREF_RE over the page body); anchor
+    text is the classic web relevance/quality signal a corpus pipeline wants
+    alongside the link graph. Two ``regexp_extract_all`` passes over the SAME
+    pattern (group 1, group 2) stay index-aligned structurally, so the zip
+    needs no positional join. Null html -> null array, like
+    ``extract_hrefs``."""
+    h = (F.col(html) if isinstance(html, str) else html).cast("string")
+    hrefs = F.regexp_extract_all(h, F.lit(ANCHOR_PATTERN), F.lit(1))
+    texts = F.regexp_extract_all(h, F.lit(ANCHOR_PATTERN), F.lit(2))
+    return F.zip_with(
+        hrefs, texts, lambda u, t: F.struct(u.alias("href"), t.alias("anchor"))
+    )
+
+
+def extract_anchor_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """One row per (page, link_idx, href, anchor), in document order — the
+    anchor-carrying twin of ``extract_links``."""
+    return pages.select(
+        "*", F.posexplode(extract_anchor_pairs(html_col)).alias("link_idx", "_a")
+    ).select(
+        *[c for c in pages.columns if c != html_col],
+        "link_idx",
+        F.col("_a.href").alias("href"),
+        F.col("_a.anchor").alias("anchor"),
+    )
+
+
+def anchor_text_topk(
+    links: DataFrame,
+    k: int = 5,
+    dst_col: str = "href",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target top-k anchor texts by reference count — how the web
+    describes each URL (the signal search stacks and quality classifiers
+    aggregate per target).
+
+    Anchors normalize (lowercase, trim, inner whitespace runs collapsed);
+    empties drop. Targets canonicalize via the shared URL rules (absolute
+    URLs; anything unparseable passes through unchanged, so pre-resolved
+    relative links group consistently). Deterministic total order:
+    (refs DESC, anchor ASC) per target.
+
+    Scale shape: groupBy (dst, anchor) with map-side combine, then ONE
+    dst-key exchange where the rank filter gets map-side WindowGroupLimit
+    pruning — output bounded at k * |targets|. No UDFs."""
+    from pyspark.sql import Window
+
+    from ..functions.urls import canonicalize_url_col
+
+    d = links.select(
+        canonicalize_url_col(dst_col).alias("dst"),
+        F.regexp_replace(
+            F.trim(F.lower(F.col(anchor_col))), r"\s+", " "
+        ).alias("anchor"),
+    ).filter(F.col("anchor") != "")
+    counts = d.groupBy("dst", "anchor").agg(F.count(F.lit(1)).alias("refs"))
+    w = Window.partitionBy("dst").orderBy(F.col("refs").desc(), F.col("anchor"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("dst", "anchor", "refs", "rank")
+    )

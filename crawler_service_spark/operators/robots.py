@@ -179,3 +179,61 @@ def robots_txt_col(disallow: Column, delay: Column) -> Column:
         delay.cast("string"),
         F.lit("\n"),
     )
+
+
+# sitemap DOCUMENT parsing (the step after parse_sitemaps discovers the urls)
+_URL_BLOCK = r"(?s)<url>(.*?)</url>"
+_SITEMAP_BLOCK = r"(?s)<sitemap>(.*?)</sitemap>"
+_LOC = r"(?s)<loc>\s*(.*?)\s*</loc>"
+_LASTMOD = r"(?s)<lastmod>\s*(.*?)\s*</lastmod>"
+
+
+def parse_sitemap_xml(
+    sitemaps: DataFrame,
+    url_col: str = "sitemap_url",
+    xml_col: str = "xml",
+) -> DataFrame:
+    """Fetched sitemap documents -> one row per referenced URL.
+
+    Implements the two sitemaps.org document shapes:
+
+    - ``<urlset>`` with ``<url><loc/><lastmod?/></url>`` entries ->
+      ``is_index = false`` rows to seed the frontier;
+    - ``<sitemapindex>`` with ``<sitemap><loc/><lastmod?/></sitemap>``
+      entries -> ``is_index = true`` rows, child sitemaps that re-enter the
+      FETCH queue (the same re-entry pattern as extracted archive members).
+
+    lastmod is optional per entry, so loc/lastmod pair inside each entry
+    block, never positionally across the document: blocks extract with one
+    ``regexp_extract_all``, explode, and a per-block ``regexp_extract``
+    picks each field — all JVM, ``(?s)`` for multi-line entries. lastmod ''
+    (absent) maps to NULL. Output: ``(sitemap_url, loc, lastmod, is_index)``;
+    a plain-text sitemap (no <urlset>/<sitemapindex>) yields no rows.
+
+    Scale shape: pure map stage (extract + two posexplode-free explodes),
+    no shuffle at all; dedup/canonicalization belongs to the frontier-merge
+    step that consumes the seeds."""
+    x = F.col(xml_col).cast("string")
+
+    def entries(block_pat: str, is_index: bool):
+        blocks = F.regexp_extract_all(x, F.lit(block_pat), F.lit(1))
+        return (
+            sitemaps.select(
+                F.col(url_col).alias("sitemap_url"),
+                F.explode(blocks).alias("_b"),
+            )
+            .select(
+                "sitemap_url",
+                F.regexp_extract("_b", _LOC, 1).alias("loc"),
+                F.regexp_extract("_b", _LASTMOD, 1).alias("_lm"),
+            )
+            .filter(F.col("loc") != "")
+            .select(
+                "sitemap_url",
+                "loc",
+                F.when(F.col("_lm") != "", F.col("_lm")).alias("lastmod"),
+                F.lit(is_index).alias("is_index"),
+            )
+        )
+
+    return entries(_URL_BLOCK, False).unionByName(entries(_SITEMAP_BLOCK, True))

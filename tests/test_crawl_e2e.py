@@ -133,3 +133,37 @@ def test_family_too_large_dead_letter(spark, tiny_fixture, tmp_path):
     ref.run(seeds=spark.read.parquet(tiny_fixture["seeds"]))
     all_fams = ref.catalog.read("extraction_jobs")
     assert all_fams.filter(F.size("files") > 1).count() == dead.count()
+
+
+def test_host_report_matches_oracle(engine_run, oracle_result):
+    """crawl_host_report rolls the catalog tables into the per-host ops
+    table; every column must equal a literal Python walk of the oracle's
+    order/seen/failure records."""
+    from crawler_service_spark.functions.urls import host_py
+    from crawler_service_spark.operators.reporting import crawl_host_report
+
+    eng, _ = engine_run
+    want: dict[str, list] = {}
+    for url in oracle_result.seen:
+        h = host_py(url)
+        want.setdefault(h, [0, 0, 0, None, None, None])[0] += 1
+    for it, _seq, depth, url in oracle_result.order:
+        r = want[host_py(url)]
+        r[1] += 1
+        r[3] = depth if r[3] is None else max(r[3], depth)
+        r[4] = it if r[4] is None else min(r[4], it)
+        r[5] = it if r[5] is None else max(r[5], it)
+    for _it, url in oracle_result.failures:
+        want[host_py(url)][2] += 1
+
+    got = {
+        r["host"]: [
+            r["n_discovered"], r["n_scheduled"], r["n_failed"],
+            r["depth_max"], r["first_iter"], r["last_iter"],
+        ]
+        for r in crawl_host_report(eng.catalog).collect()
+    }
+    assert got == want
+    # sanity on the fixture: multiple hosts, at least one failure rolled up
+    assert len(got) > 1
+    assert sum(v[2] for v in got.values()) == len(oracle_result.failures)

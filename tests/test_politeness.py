@@ -294,3 +294,52 @@ def test_absent_crawl_delay_inherits_parser_default(spark):
     assert budgets["nodirective.com"] == 10  # floor(10 / DEFAULT_DELAY_S=1.0)
     assert budgets["mixed.com"] == 5  # declared max 2.0 governs
     assert budgets["zero.com"] == 2147483647  # explicit 0 stays unthrottled
+
+
+def test_parse_sitemap_xml_urlset_index_and_text(spark):
+    """Both sitemaps.org document shapes parse entry-wise (lastmod pairs
+    inside its block, never positionally); plain-text docs yield nothing."""
+    import re
+
+    from crawler_service_spark.operators.robots import parse_sitemap_xml
+
+    urlset = (
+        "<?xml version=\"1.0\"?>\n<urlset>\n"
+        "  <url><loc> http://a.com/p1 </loc><lastmod>2024-01-02</lastmod></url>\n"
+        "  <url><loc>http://a.com/p2</loc></url>\n"            # no lastmod
+        "  <url><lastmod>2024-03-04</lastmod></url>\n"          # no loc: drops
+        "  <url><loc>http://a.com/p3\n</loc><lastmod>2024-05-06</lastmod></url>\n"
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex>"
+        "<sitemap><loc>http://a.com/sub1.xml</loc></sitemap>"
+        "<sitemap><loc>http://a.com/sub2.xml</loc>"
+        "<lastmod>2023-12-31</lastmod></sitemap>"
+        "</sitemapindex>"
+    )
+    plain = "http://a.com/x\nhttp://a.com/y\n"
+    df = spark.createDataFrame(
+        [
+            ("http://a.com/sitemap.xml", urlset),
+            ("http://a.com/sitemap_index.xml", index),
+            ("http://a.com/plain.txt", plain),
+        ],
+        "sitemap_url string, xml string",
+    )
+    got = sorted(tuple(r) for r in parse_sitemap_xml(df).collect())
+    assert got == [
+        ("http://a.com/sitemap.xml", "http://a.com/p1", "2024-01-02", False),
+        ("http://a.com/sitemap.xml", "http://a.com/p2", None, False),
+        ("http://a.com/sitemap.xml", "http://a.com/p3", "2024-05-06", False),
+        ("http://a.com/sitemap_index.xml", "http://a.com/sub1.xml", None, True),
+        ("http://a.com/sitemap_index.xml", "http://a.com/sub2.xml", "2023-12-31", True),
+    ]
+    # cross-check the urlset rows against a literal python re walk
+    twin = []
+    for b in re.findall(r"(?s)<url>(.*?)</url>", urlset):
+        loc = re.search(r"(?s)<loc>\s*(.*?)\s*</loc>", b)
+        lm = re.search(r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", b)
+        if loc and loc.group(1):
+            twin.append((loc.group(1), lm.group(1) if lm else None))
+    assert [(g[1], g[2]) for g in got if not g[3]] == twin

@@ -262,6 +262,35 @@ def main() -> int:
         print(f"FAIL trap_cap_per_template: {why}")
         print(cap_plan)
 
+    # anchor-text rollup (operators/extraction.py): count agg map-side
+    # combined, rank filter gets WindowGroupLimit pruning, no cartesian
+    from crawler_service_spark.operators.extraction import (
+        anchor_text_topk,
+        extract_anchor_links,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (f"http://s.example.com/{i}",
+             f'<html><a href="http://t.example.com/{i % 4}">doc {i % 2}</a></html>'.encode())
+            for i in range(32)
+        ],
+        "url string, html binary",
+    )
+    anchor_plan = formatted(anchor_text_topk(extract_anchor_links(pages), k=3))
+    ok = (
+        "WindowGroupLimit" in anchor_plan
+        and "CartesianProduct" not in anchor_plan
+        and not any(m in anchor_plan for m in ("ArrowEvalPython", "BatchEvalPython"))
+    )
+    why = "rank-limit pruning, no cartesian, no Python stage"
+    if ok:
+        print(f"OK   anchor_text_topk: {why}")
+    else:
+        failures.append(("anchor_text_topk", why))
+        print(f"FAIL anchor_text_topk: {why}")
+        print(anchor_plan)
+
     # negative check: no CartesianProduct anywhere except the intentional
     # all-pairs embedding query
     for name in ["q1_pricing_summary", "j1_broadcast_enrich", "j5_seen_antijoin",

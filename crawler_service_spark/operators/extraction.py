@@ -131,11 +131,17 @@ def anchor_text_topk(
     describes each URL (the signal search stacks and quality classifiers
     aggregate per target).
 
-    Anchors normalize (lowercase, trim, inner whitespace runs collapsed);
-    empties drop. Targets canonicalize via the shared URL rules (absolute
-    URLs; anything unparseable passes through unchanged, so pre-resolved
-    relative links group consistently). Deterministic total order:
-    (refs DESC, anchor ASC) per target.
+    Anchors normalize: lowercase, ASCII whitespace runs (space/tab/CR/LF/
+    FF/VT — collapsed FIRST, so F.trim's space-only strip then removes any
+    edge run; Java \\s is ASCII while Python's is Unicode, so the class is
+    explicit and the twin mirrors it — U+00A0 etc. stay content on both
+    engines); empty and whitespace-only anchors drop. Only absolute
+    http(s) targets aggregate (the engine's own link-path prefilter,
+    engine.py run_iteration) — a relative href like ``/about`` appears on
+    every site, so grouping it would merge unrelated targets; resolution
+    against the source page belongs to the frontier step, upstream of this
+    rollup. Targets then canonicalize via the shared URL rules.
+    Deterministic total order: (refs DESC, anchor ASC) per target.
 
     Scale shape: groupBy (dst, anchor) with map-side combine, then ONE
     dst-key exchange where the rank filter gets map-side WindowGroupLimit
@@ -144,12 +150,18 @@ def anchor_text_topk(
 
     from ..functions.urls import canonicalize_url_col
 
-    d = links.select(
-        canonicalize_url_col(dst_col).alias("dst"),
-        F.regexp_replace(
-            F.trim(F.lower(F.col(anchor_col))), r"\s+", " "
-        ).alias("anchor"),
-    ).filter(F.col("anchor") != "")
+    d = (
+        links.filter(F.col(dst_col).rlike(r"^\s*[Hh][Tt][Tt][Pp][Ss]?://"))
+        .select(
+            canonicalize_url_col(dst_col).alias("dst"),
+            F.trim(
+                F.regexp_replace(
+                    F.lower(F.col(anchor_col)), r"[ \t\n\x0B\f\r]+", " "
+                )
+            ).alias("anchor"),
+        )
+        .filter(F.col("anchor") != "")
+    )
     counts = d.groupBy("dst", "anchor").agg(F.count(F.lit(1)).alias("refs"))
     w = Window.partitionBy("dst").orderBy(F.col("refs").desc(), F.col("anchor"))
     return (

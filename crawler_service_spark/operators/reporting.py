@@ -28,15 +28,28 @@ from pyspark.sql import functions as F
 from ..functions.urls import host_col
 from ..storage.catalog import ManifestCatalog
 
+# explicit schemas for every read: an expired/forgotten crawl overwrites
+# these tables with EMPTY commits (engine.py expire), which write no parquet
+# part files — a schema-less read in a fresh session would then die on
+# inference instead of reporting cleanly. DDLs mirror the engine's own
+# commit selects / _empty() strings.
+_SEEN_SCHEMA = (
+    "url_hash bigint, url string, host string, depth int, seq bigint, "
+    "discovered_iter int"
+)
+_ORDER_SCHEMA = (
+    "crawl_id string, iteration int, seq bigint, depth int, priority int, "
+    "url string, host string"
+)
 _FAIL_SCHEMA = "crawl_id string, iteration int, url string, reason string"
 
 
 def crawl_host_report(catalog: ManifestCatalog) -> DataFrame:
     """One row per host with discovery/scheduling/failure counts."""
-    seen = catalog.read("seen")
+    seen = catalog.read("seen", schema=_SEEN_SCHEMA)
     if seen is None:
         raise ValueError("no crawl in this catalog (empty 'seen' table)")
-    order = catalog.read("crawl_order")
+    order = catalog.read("crawl_order", schema=_ORDER_SCHEMA)
     fails = catalog.read("fetch_failures", schema=_FAIL_SCHEMA)
 
     disc = seen.groupBy("host").agg(F.count(F.lit(1)).alias("n_discovered"))

@@ -184,8 +184,23 @@ def robots_txt_col(disallow: Column, delay: Column) -> Column:
 # sitemap DOCUMENT parsing (the step after parse_sitemaps discovers the urls)
 _URL_BLOCK = r"(?s)<url>(.*?)</url>"
 _SITEMAP_BLOCK = r"(?s)<sitemap>(.*?)</sitemap>"
-_LOC = r"(?s)<loc>\s*(.*?)\s*</loc>"
+# loc content may be CDATA-wrapped; the wrapper is markup, not URL bytes
+_LOC = r"(?s)<loc>\s*(?:<!\[CDATA\[)?\s*(.*?)\s*(?:\]\]>)?\s*</loc>"
 _LASTMOD = r"(?s)<lastmod>\s*(.*?)\s*</lastmod>"
+
+
+def _xml_unescape(c: Column) -> Column:
+    """The five predefined XML entities, ``&amp;`` LAST so ``&amp;lt;``
+    decodes to the literal ``&lt;`` the document escaped (sitemaps.org
+    REQUIRES entity-escaped URLs, so ``?a=1&amp;b=2`` is the on-disk form
+    of every multi-param URL; numeric character references are out of
+    scope and documented as such)."""
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
 
 
 def parse_sitemap_xml(
@@ -206,9 +221,14 @@ def parse_sitemap_xml(
     lastmod is optional per entry, so loc/lastmod pair inside each entry
     block, never positionally across the document: blocks extract with one
     ``regexp_extract_all``, explode, and a per-block ``regexp_extract``
-    picks each field — all JVM, ``(?s)`` for multi-line entries. lastmod ''
-    (absent) maps to NULL. Output: ``(sitemap_url, loc, lastmod, is_index)``;
-    a plain-text sitemap (no <urlset>/<sitemapindex>) yields no rows.
+    picks each field — all JVM, ``(?s)`` for multi-line entries. loc values
+    decode the five predefined XML entities (sitemaps.org mandates escaped
+    URLs, so ``&amp;`` appears in every multi-param loc; numeric character
+    references are not decoded) and shed an optional CDATA wrapper.
+    lastmod '' (absent) maps to NULL and is taken verbatim (W3C datetimes
+    never contain entities). Output: ``(sitemap_url, loc, lastmod,
+    is_index)``; a plain-text sitemap (no <urlset>/<sitemapindex>) yields
+    no rows.
 
     Scale shape: pure map stage (extract + two posexplode-free explodes),
     no shuffle at all; dedup/canonicalization belongs to the frontier-merge
@@ -224,7 +244,7 @@ def parse_sitemap_xml(
             )
             .select(
                 "sitemap_url",
-                F.regexp_extract("_b", _LOC, 1).alias("loc"),
+                _xml_unescape(F.regexp_extract("_b", _LOC, 1)).alias("loc"),
                 F.regexp_extract("_b", _LASTMOD, 1).alias("_lm"),
             )
             .filter(F.col("loc") != "")

@@ -148,13 +148,15 @@ def host_trap_stats(
     )
     stats = stats.select(
         "*",
-        (F.lit(1000) * F.col("urls") / F.col("templates"))
-        .cast("long")
-        .alias("urls_per_template_permille"),
-        F.when(
-            F.col("keysets") > 0,
-            (F.lit(1000) * F.col("queries") / F.col("keysets")).cast("long"),
-        )
+        # SQL div(): exact integer floor, the repo's permille idiom — the
+        # double-divide-then-cast route detours through IEEE rounding.
+        # templates >= 1 always (every grouped row carries one); keysets
+        # can be 0 (query-less host), guarded like recrawl's n_obs > 1
+        # because div-by-zero raises under ANSI mode
+        F.expr("div(1000 * urls, templates)").alias(
+            "urls_per_template_permille"
+        ),
+        F.when(F.col("keysets") > 0, F.expr("div(1000 * queries, keysets)"))
         .otherwise(F.lit(0))
         .alias("queries_per_keyset_permille"),
     )

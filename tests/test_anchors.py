@@ -27,6 +27,19 @@ DOCS = [
         b'<a href="http://t.com/z">one\n two</a></html>',
     ),
     ("http://a.com/3", None),  # fetch miss: null html, contributes nothing
+    (
+        "http://a.com/4",
+        # trailing-newline anchor must group with 'docs'; whitespace-only
+        # anchor must drop; relative hrefs (same path on two hosts) must NOT
+        # aggregate — resolution is the frontier's job, not the rollup's
+        b'<html><a href="http://t.com/x">Docs\n</a>'
+        b'<a href="http://t.com/z">\n</a>'
+        b'<a href="/about">about us</a></html>',
+    ),
+    (
+        "http://b.com/1",
+        b'<html><a href="/about">about us</a></html>',
+    ),
 ]
 
 
@@ -43,7 +56,10 @@ def _twin_links():
 def _twin_topk(k):
     counts: dict[tuple[str, str], int] = {}
     for _u, _i, href, anchor in _twin_links():
-        a = re.sub(r"\s+", " ", anchor.lower().strip())
+        if not re.match(r"^\s*https?://", href, re.IGNORECASE):
+            continue  # relative hrefs need per-page resolution, not grouping
+        # ASCII-explicit class + strip(' ') to mirror the JVM exactly
+        a = re.sub(r"[ \t\n\x0b\f\r]+", " ", anchor.lower()).strip(" ")
         if not a:
             continue
         key = (canonicalize_url_py(href), a)

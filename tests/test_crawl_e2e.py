@@ -167,3 +167,31 @@ def test_host_report_matches_oracle(engine_run, oracle_result):
     # sanity on the fixture: multiple hosts, at least one failure rolled up
     assert len(got) > 1
     assert sum(v[2] for v in got.values()) == len(oracle_result.failures)
+
+
+def test_host_report_survives_empty_tables(spark, tmp_path):
+    """An expired/forgotten crawl overwrites seen/crawl_order with EMPTY
+    commits (no parquet part files) — the report must read them through its
+    explicit schemas in a fresh session instead of dying on inference; a
+    catalog with no crawl at all raises the documented ValueError."""
+    from crawler_service_spark.operators.reporting import (
+        _ORDER_SCHEMA,
+        _SEEN_SCHEMA,
+        crawl_host_report,
+    )
+    from crawler_service_spark.storage import ManifestCatalog
+
+    cat = ManifestCatalog(str(tmp_path / "wd"), spark)
+    with pytest.raises(ValueError, match="no crawl"):
+        crawl_host_report(cat)
+    cat.commit(
+        "seen", spark.createDataFrame([], _SEEN_SCHEMA),
+        "seen-iter-0", mode="overwrite",
+    )
+    cat.commit(
+        "crawl_order", spark.createDataFrame([], _ORDER_SCHEMA),
+        "order-iter-0", mode="overwrite",
+    )
+    # fresh instance: no cached schemas, the explicit DDLs must carry it
+    fresh = ManifestCatalog(str(tmp_path / "wd"), spark)
+    assert crawl_host_report(fresh).count() == 0

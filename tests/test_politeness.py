@@ -309,6 +309,11 @@ def test_parse_sitemap_xml_urlset_index_and_text(spark):
         "  <url><loc>http://a.com/p2</loc></url>\n"            # no lastmod
         "  <url><lastmod>2024-03-04</lastmod></url>\n"          # no loc: drops
         "  <url><loc>http://a.com/p3\n</loc><lastmod>2024-05-06</lastmod></url>\n"
+        # sitemaps.org REQUIRES entity-escaped URLs: &amp; must decode, and
+        # a double-escaped &amp;lt; must yield the literal '&lt;' exactly once
+        "  <url><loc>http://a.com/q?a=1&amp;b=2&amp;lt;</loc></url>\n"
+        # CDATA wrapper is markup, not URL bytes
+        "  <url><loc><![CDATA[http://a.com/cdata?x=1&y=2]]></loc></url>\n"
         "</urlset>"
     )
     index = (
@@ -329,17 +334,27 @@ def test_parse_sitemap_xml_urlset_index_and_text(spark):
     )
     got = sorted(tuple(r) for r in parse_sitemap_xml(df).collect())
     assert got == [
+        ("http://a.com/sitemap.xml", "http://a.com/cdata?x=1&y=2", None, False),
         ("http://a.com/sitemap.xml", "http://a.com/p1", "2024-01-02", False),
         ("http://a.com/sitemap.xml", "http://a.com/p2", None, False),
         ("http://a.com/sitemap.xml", "http://a.com/p3", "2024-05-06", False),
+        ("http://a.com/sitemap.xml", "http://a.com/q?a=1&b=2&lt;", None, False),
         ("http://a.com/sitemap_index.xml", "http://a.com/sub1.xml", None, True),
         ("http://a.com/sitemap_index.xml", "http://a.com/sub2.xml", "2023-12-31", True),
     ]
-    # cross-check the urlset rows against a literal python re walk
+    # cross-check the urlset rows against a literal python re walk mirroring
+    # the declared contract: CDATA shed, the five entities decoded &amp; last
+    loc_re = r"(?s)<loc>\s*(?:<!\[CDATA\[)?\s*(.*?)\s*(?:\]\]>)?\s*</loc>"
     twin = []
     for b in re.findall(r"(?s)<url>(.*?)</url>", urlset):
-        loc = re.search(r"(?s)<loc>\s*(.*?)\s*</loc>", b)
+        loc = re.search(loc_re, b)
         lm = re.search(r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", b)
         if loc and loc.group(1):
-            twin.append((loc.group(1), lm.group(1) if lm else None))
-    assert [(g[1], g[2]) for g in got if not g[3]] == twin
+            u = loc.group(1)
+            for ent, ch in (
+                ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                ("&apos;", "'"), ("&amp;", "&"),
+            ):
+                u = u.replace(ent, ch)
+            twin.append((u, lm.group(1) if lm else None))
+    assert sorted((g[1], g[2]) for g in got if not g[3]) == sorted(twin)

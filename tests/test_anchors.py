@@ -4,6 +4,9 @@ from __future__ import annotations
 
 import re
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
 from crawler_service_spark.functions.urls import canonicalize_url_py
 from crawler_service_spark.operators.extraction import (
     ANCHOR_PATTERN,
@@ -100,3 +103,58 @@ def test_anchor_topk_rollup_matches_twin(spark):
     top = {(r[0], r[3]): r[1] for r in got}
     assert top[("http://t.com/x", 1)] == "docs"
     assert top[("http://t.com/x", 2)] == "docs here"
+
+
+_WORD = st.sampled_from(["docs", "Guide", "read  more", "x", "läs", ""])
+_HREF = st.sampled_from(
+    [
+        "http://t.com/a", "http://t.com/b?q=1", "HTTPS://T.com/c",
+        "/relative", "ftp://t.com/d", "mailto:x@t.com",
+    ]
+)
+_PAGE = st.lists(st.tuples(_HREF, _WORD), min_size=0, max_size=6)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_PAGE, min_size=1, max_size=6))
+def test_anchor_pipeline_matches_twin_on_random_pages(spark, pages):
+    """Random pages (relative/ftp/mailto hrefs, empty and unicode anchors,
+    uppercase schemes): link rows AND rollup equal the re-based twins."""
+    docs = [
+        (
+            f"http://s{i}.com/",
+            "".join(f'<a href="{h}">{t}</a>' for h, t in page).encode(),
+        )
+        for i, page in enumerate(pages)
+    ]
+    df = spark.createDataFrame(docs, "url string, html binary").repartition(3)
+    got_links = sorted(
+        (r["url"], r["link_idx"], r["href"], r["anchor"])
+        for r in extract_anchor_links(df).collect()
+    )
+    twin_links = []
+    for url, html in docs:
+        for i, m in enumerate(re.finditer(ANCHOR_PATTERN, html.decode())):
+            twin_links.append((url, i, m.group(1), m.group(2)))
+    assert got_links == sorted(twin_links)
+
+    got_topk = sorted(
+        tuple(r) for r in anchor_text_topk(extract_anchor_links(df), k=2).collect()
+    )
+    counts: dict[tuple[str, str], int] = {}
+    for _u, _i, href, anchor in twin_links:
+        if not re.match(r"^\s*https?://", href, re.IGNORECASE):
+            continue
+        a = re.sub(r"[ \t\n\x0b\f\r]+", " ", anchor.lower()).strip(" ")
+        if not a:
+            continue
+        key = (canonicalize_url_py(href), a)
+        counts[key] = counts.get(key, 0) + 1
+    by_dst: dict[str, list] = {}
+    for (dst, a), n in counts.items():
+        by_dst.setdefault(dst, []).append((a, n))
+    twin_topk = []
+    for dst, pairs in by_dst.items():
+        pairs.sort(key=lambda p: (-p[1], p[0]))
+        twin_topk.extend((dst, a, n, r + 1) for r, (a, n) in enumerate(pairs[:2]))
+    assert got_topk == sorted(twin_topk)

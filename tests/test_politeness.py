@@ -358,3 +358,60 @@ def test_parse_sitemap_xml_urlset_index_and_text(spark):
                 u = u.replace(ent, ch)
             twin.append((u, lm.group(1) if lm else None))
     assert sorted((g[1], g[2]) for g in got if not g[3]) == sorted(twin)
+
+
+def test_parse_sitemap_xml_matches_twin_on_random_docs(spark):
+    """Fuzz the sitemap parser: random entry mixes (CDATA, escaped URLs,
+    missing lastmod/loc, whitespace padding) against the re-based twin."""
+    import random
+    import re
+
+    from crawler_service_spark.operators.robots import parse_sitemap_xml
+
+    rng = random.Random(7)
+    raw_urls = [
+        "http://h.com/a", "http://h.com/q?a=1&b=2", "http://h.com/<odd>",
+        "http://h.com/sp ace", "http://h.com/it's",
+    ]
+
+    def esc(u):
+        for ch, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                        ('"', "&quot;"), ("'", "&apos;")):
+            u = u.replace(ch, ent)
+        return u
+
+    docs = []
+    for d in range(12):
+        entries = []
+        for _e in range(rng.randint(0, 5)):
+            u = rng.choice(raw_urls)
+            body = f"<![CDATA[{u}]]>" if rng.random() < 0.3 else esc(u)
+            pad = rng.choice(["", " ", "\n  "])
+            loc = f"<loc>{pad}{body}{pad}</loc>" if rng.random() < 0.9 else ""
+            lm = (
+                f"<lastmod>2024-0{rng.randint(1, 9)}-01</lastmod>"
+                if rng.random() < 0.5
+                else ""
+            )
+            entries.append(f"<url>{loc}{lm}</url>")
+        docs.append((f"http://h.com/s{d}.xml", f"<urlset>{''.join(entries)}</urlset>"))
+
+    df = spark.createDataFrame(docs, "sitemap_url string, xml string").repartition(4)
+    key = lambda t: (t[0], t[1], t[2] or "", t[3])  # None lastmod sorts as ''
+    got = sorted((tuple(r) for r in parse_sitemap_xml(df).collect()), key=key)
+
+    loc_re = r"(?s)<loc>\s*(?:<!\[CDATA\[)?\s*(.*?)\s*(?:\]\]>)?\s*</loc>"
+    twin = []
+    for sm, xml in docs:
+        for b in re.findall(r"(?s)<url>(.*?)</url>", xml):
+            loc = re.search(loc_re, b)
+            lm = re.search(r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", b)
+            if loc and loc.group(1):
+                u = loc.group(1)
+                for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                                ("&apos;", "'"), ("&amp;", "&")):
+                    u = u.replace(ent, ch)
+                twin.append((sm, u, lm.group(1) if lm else None, False))
+    assert got == sorted(twin, key=key)
+    # round-trip property: every escaped original URL comes back byte-exact
+    assert {g[1] for g in got} <= set(raw_urls)

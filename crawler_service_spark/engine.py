@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.urls import canonicalize_url_col, host_col, path_col, url_hash_col
-from .operators import politeness
+from .operators import politeness, traps
 from .operators.dedup import (
     BloomSeenFilter,
     CuckooSeenFilter,
@@ -119,6 +119,25 @@ class CrawlConfig:
     # (the round-1 full-rewrite behavior); raise it to trade read cost for
     # fewer big writes.
     frontier_compact_ratio: float = 1.0
+    # Structural frontier defense (operators/traps.py): when on, every
+    # iteration appends a (host, template, n) census of its NEW urls to the
+    # trap_stats table (additive — each canonical url enters new_frontier at
+    # most once per crawl) and anti-joins candidates against hosts whose
+    # cumulative urls/templates ratio trips the threshold, the same
+    # broadcast-anti-join shape as the F2 skip list. Off by default: the
+    # reference (and the crawl oracle) model no trap defense, and the flags
+    # read state pinned to the PREVIOUS iteration's commit so kill/resume
+    # replays identical decisions. Quarantine thresholds are DELIBERATELY
+    # far above the census-report defaults (traps.DEFAULT_*): the report
+    # flags anything worth a look (10 urls/template), but every legitimate
+    # site is template-driven, so enforcement only fires on hosts minting
+    # hundreds of URLs per pattern over a large sample — measured on the
+    # 400-page organic fixture, the census defaults would quarantine
+    # ordinary hosts (verified: guard-on at these defaults keeps crawl
+    # order byte-identical on trap-free input).
+    trap_guard: bool = False
+    trap_ratio_permille: int = 200_000  # >=200 distinct urls per template
+    trap_min_urls: int = 5_000
     max_iterations: int = 10_000
 
 
@@ -363,6 +382,18 @@ class CrawlEngine:
             .withColumn("url_hash", url_hash_col("url"))
         )
         firsts = politeness.robots_filter(firsts, self.robots)
+        if cfg.trap_guard:
+            # quarantine exploding hosts before the seen anti-join; stats are
+            # pinned to the previous iteration's commit (never this one's),
+            # so a mid-iteration resume replays the exact same flag set
+            deltas = self.catalog.read(
+                "trap_stats", upto=f"traps-{prev}", schema=traps.TRAP_STATS_SCHEMA
+            )
+            if deltas is not None:
+                flagged = traps.flagged_hosts_from_deltas(
+                    deltas, cfg.trap_ratio_permille, cfg.trap_min_urls
+                )
+                firsts = firsts.join(F.broadcast(flagged), "host", "left_anti")
         probe_bloom = self.bloom if next_seq >= cfg.bloom_min_seen else None
         new = dedup_new_urls(firsts, seen, probe_bloom, bloom_upto=f"bloom-{prev}")
         new = new.select(
@@ -501,13 +532,21 @@ class CrawlEngine:
                     f"tomb-{it}", coalesce=cfg.commit_files,
                 )
 
+        def c_traps():
+            if cfg.trap_guard:
+                self.catalog.commit(
+                    "trap_stats",
+                    traps.template_delta(new_frontier.select("url")),
+                    f"traps-{it}", coalesce=1,  # template-bounded tiny frame
+                )
+
         with ThreadPoolExecutor(max_workers=8) as pool:
             futs = {
                 name: pool.submit(fn)
                 for name, fn in [
                     ("order", c_order), ("pages", c_pages), ("fail", c_fail),
                     ("jobs", c_jobs), ("seen", c_seen), ("bloom", c_bloom),
-                    ("pend", c_pend), ("tomb", c_tomb),
+                    ("pend", c_pend), ("tomb", c_tomb), ("traps", c_traps),
                 ]
             }
             m_order = futs["order"].result()
@@ -518,6 +557,7 @@ class CrawlEngine:
             futs["fail"].result()
             futs["bloom"].result()
             futs["tomb"].result()
+            futs["traps"].result()
         tt = self._trace("commits(concurrent)", tt)
         n_sched, n_ok = int(m_order["n_sched"]), int(m_pages["n_ok"])
         n_new = int(m_seen["n_new"])

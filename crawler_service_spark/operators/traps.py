@@ -231,3 +231,46 @@ def cap_per_template(
         .select("host", "template", "url")
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------- #
+# incremental stats (the engine-integrated form: state in the catalog)
+# --------------------------------------------------------------------------- #
+
+TRAP_STATS_SCHEMA = "host string, template string, n bigint"
+
+
+def template_delta(
+    df: DataFrame, url_col: str = "url", assume_canonical: bool = True
+) -> DataFrame:
+    """(host, template, n) census of ONE batch of distinct URLs.
+
+    The engine feeds each canonical URL exactly once over a crawl's lifetime
+    (new_frontier rows have passed the seen anti-join), so per-iteration
+    deltas are ADDITIVE: summing the appended (host, template, n) rows at
+    read time yields the exact distinct-URL-per-template counts without ever
+    rescanning the seen table — an O(|batch|) census per iteration instead
+    of an O(|seen|) one, which is what makes the guard affordable at a
+    10^10-URL frontier. One template-bounded groupBy shuffle per batch."""
+    feats = _url_features(df, url_col, assume_canonical)
+    return feats.groupBy("host", "template").agg(F.count(F.lit(1)).alias("n"))
+
+
+def flagged_hosts_from_deltas(
+    deltas: DataFrame,
+    ratio_permille: int = DEFAULT_RATIO_PERMILLE,
+    min_urls: int = DEFAULT_MIN_URLS,
+) -> DataFrame:
+    """Hosts whose cumulative urls/templates ratio trips the explosion flag.
+
+    Input is the trap-stats delta table (any number of appended batches);
+    the rollup runs over a template-bounded frame — one small groupBy, no
+    corpus access. Same thresholds and integer math as `host_trap_stats`."""
+    per_template = deltas.groupBy("host", "template").agg(F.sum("n").alias("n"))
+    per_host = per_template.groupBy("host").agg(
+        F.sum("n").alias("urls"), F.count(F.lit(1)).alias("templates")
+    )
+    return per_host.filter(
+        (F.expr("div(1000 * urls, templates)") >= ratio_permille)
+        & (F.col("urls") >= min_urls)
+    ).select("host")

@@ -101,6 +101,27 @@ def test_trap_guard_quarantines_exploding_host_only(spark, tmp_path):
     assert again == guarded_seen
 
 
+def test_trap_guard_survives_kill_and_resume(spark, tmp_path):
+    """The replay contract under an ACTUAL interruption: stop the guarded
+    crawl after 2 iterations, resume with a brand-new engine over the same
+    workdir, and the final seen set must equal the uninterrupted guarded
+    run's — possible only because flags read trap_stats pinned to the
+    previous iteration's commit, never the in-flight one."""
+    guard_kwargs = dict(trap_guard=True, trap_min_urls=8, trap_ratio_permille=3000)
+    _, full = _crawl(spark, tmp_path, "g-full", **guard_kwargs)
+
+    pages, robots, seeds = _dfs(spark)
+    cfg = CrawlConfig(iteration_seconds=6.0, max_iterations=60, **guard_kwargs)
+    eng1 = CrawlEngine(spark, pages, robots, str(tmp_path / "g-stop"), cfg)
+    stats1 = eng1.run(seeds=seeds, max_iterations=2)
+    assert stats1[-1]["status"] == "running"
+    eng2 = CrawlEngine(spark, pages, robots, str(tmp_path / "g-stop"), cfg)
+    stats2 = eng2.resume()
+    assert stats2[-1]["status"] == "complete"
+    resumed = {r["url"] for r in eng2.catalog.read("seen").select("url").collect()}
+    assert resumed == full
+
+
 def test_trap_guard_default_thresholds_spare_small_sites(spark, tmp_path):
     """The engine's enforcement thresholds sit far above the census-report
     defaults: every legitimate site is template-driven, so quarantine only

@@ -235,6 +235,16 @@ class CrawlEngine:
             frontier.select("url_hash", "url", "host", "depth", "seq", "discovered_iter"),
             "seen-iter-0",
         )
+        if self.config.trap_guard:
+            # seeds enter the seen set too: census them at iteration 0 or a
+            # seed list concentrated on one host never counts toward its
+            # explosion totals (and the traps-iter-0 anchor exists from the
+            # start of the snapshot chain)
+            self.catalog.commit(
+                "trap_stats",
+                traps.template_delta(frontier.select("url")),
+                "traps-iter-0", coalesce=1,
+            )
         if self.bloom:
             self.bloom.update(frontier.select("url"), "bloom-iter-0")
         self.catalog.commit_rows(
@@ -533,11 +543,33 @@ class CrawlEngine:
                 )
 
         def c_traps():
-            if cfg.trap_guard:
+            if not cfg.trap_guard:
+                return
+            delta = traps.template_delta(new_frontier.select("url"))
+            if compact:
+                # ride the frontier compaction cadence: fold the whole
+                # delta chain + this iteration into ONE overwrite rollup
+                # (same commit-id convention, so pinned upto reads are
+                # unaffected) — bounds the per-iteration flag read at
+                # O(compact_ratio) files instead of O(iterations)
+                prior = self.catalog.read(
+                    "trap_stats", upto=f"traps-{prev}",
+                    schema=traps.TRAP_STATS_SCHEMA,
+                )
+                rolled = delta if prior is None else prior.unionByName(delta)
+                rolled = (
+                    rolled.groupBy("host", "template")
+                    .agg(F.sum("n").alias("n"))
+                    .filter(F.col("n") != 0)  # drop fully-forgotten templates
+                )
                 self.catalog.commit(
-                    "trap_stats",
-                    traps.template_delta(new_frontier.select("url")),
-                    f"traps-{it}", coalesce=1,  # template-bounded tiny frame
+                    "trap_stats", rolled, f"traps-{it}",
+                    mode="overwrite", coalesce=1,
+                )
+            else:
+                self.catalog.commit(
+                    "trap_stats", delta, f"traps-{it}",
+                    coalesce=1,  # template-bounded tiny frame
                 )
 
         with ThreadPoolExecutor(max_workers=8) as pool:
@@ -680,6 +712,26 @@ class CrawlEngine:
             self._empty("url_hash bigint, url string").repartition(1),
             f"tomb-{it}",
         )
+        if self.config.trap_guard and self.catalog.exists("trap_stats"):
+            if mode == "forget":
+                # keep the census additive: the forgotten urls leave the
+                # seen set, so their template counts leave the table too
+                # (negative delta); a later re-discovery re-censuses them
+                # exactly once via the standard dedup invariant
+                neg = traps.template_delta(ex.select("url")).withColumn(
+                    "n", -F.col("n")
+                )
+                self.catalog.commit("trap_stats", neg, f"traps-{it}", coalesce=1)
+            else:
+                # recrawl keeps the urls in seen: counts are unchanged, but
+                # the pseudo-iteration still needs its snapshot anchor or
+                # the next run_iteration's pinned read comes back empty and
+                # silently skips quarantine for one iteration
+                self.catalog.commit(
+                    "trap_stats",
+                    self._empty(traps.TRAP_STATS_SCHEMA).repartition(1),
+                    f"traps-{it}",
+                )
         n_pending = prev_pending + n_exp
         self.catalog.commit_rows(
             "crawl_state",

@@ -54,6 +54,13 @@ DEFAULT_MAX_DEPTH = 32
 DEFAULT_CYCLE_REPEAT = 3
 
 
+def _permille(num_col: str, den_col: str) -> Column:
+    """``div(1000 * num, den)`` — the repo's exact integer permille idiom,
+    shared by the census report and the enforcement rollup so the two can
+    never diverge. Caller guards den > 0 (ANSI div-by-zero raises)."""
+    return F.expr(f"div(1000 * {num_col}, {den_col})")
+
+
 def template_col(path: Column) -> Column:
     """Path template: lowercase, hex runs (>=8) -> '@', digit runs -> '#'.
 
@@ -148,15 +155,12 @@ def host_trap_stats(
     )
     stats = stats.select(
         "*",
-        # SQL div(): exact integer floor, the repo's permille idiom — the
-        # double-divide-then-cast route detours through IEEE rounding.
-        # templates >= 1 always (every grouped row carries one); keysets
-        # can be 0 (query-less host), guarded like recrawl's n_obs > 1
-        # because div-by-zero raises under ANSI mode
-        F.expr("div(1000 * urls, templates)").alias(
-            "urls_per_template_permille"
-        ),
-        F.when(F.col("keysets") > 0, F.expr("div(1000 * queries, keysets)"))
+        # _permille = SQL div(): exact integer floor. templates >= 1 always
+        # (every grouped row carries one); keysets can be 0 (query-less
+        # host), guarded like recrawl's n_obs > 1 because div-by-zero
+        # raises under ANSI mode
+        _permille("urls", "templates").alias("urls_per_template_permille"),
+        F.when(F.col("keysets") > 0, _permille("queries", "keysets"))
         .otherwise(F.lit(0))
         .alias("queries_per_keyset_permille"),
     )
@@ -245,13 +249,15 @@ def template_delta(
 ) -> DataFrame:
     """(host, template, n) census of ONE batch of distinct URLs.
 
-    The engine feeds each canonical URL exactly once over a crawl's lifetime
-    (new_frontier rows have passed the seen anti-join), so per-iteration
-    deltas are ADDITIVE: summing the appended (host, template, n) rows at
-    read time yields the exact distinct-URL-per-template counts without ever
-    rescanning the seen table — an O(|batch|) census per iteration instead
-    of an O(|seen|) one, which is what makes the guard affordable at a
-    10^10-URL frontier. One template-bounded groupBy shuffle per batch."""
+    The engine feeds each canonical URL exactly once per residence in the
+    seen set (new_frontier rows have passed the seen anti-join; seeds are
+    censused at iteration 0; forget-expiry appends NEGATIVE deltas for the
+    urls it removes), so the appended (host, template, n) rows stay
+    ADDITIVE: their sum at read time equals the exact
+    distinct-URL-per-template counts of the CURRENT seen set without ever
+    rescanning it — an O(|batch|) census per iteration instead of an
+    O(|seen|) one, which is what makes the guard affordable at a 10^10-URL
+    frontier. One template-bounded groupBy shuffle per batch."""
     feats = _url_features(df, url_col, assume_canonical)
     return feats.groupBy("host", "template").agg(F.count(F.lit(1)).alias("n"))
 
@@ -266,11 +272,17 @@ def flagged_hosts_from_deltas(
     Input is the trap-stats delta table (any number of appended batches);
     the rollup runs over a template-bounded frame — one small groupBy, no
     corpus access. Same thresholds and integer math as `host_trap_stats`."""
-    per_template = deltas.groupBy("host", "template").agg(F.sum("n").alias("n"))
+    per_template = (
+        deltas.groupBy("host", "template")
+        .agg(F.sum("n").alias("n"))
+        # forget-expiry appends negative deltas; a template whose urls all
+        # left the seen set must not count toward the template total
+        .filter(F.col("n") > 0)
+    )
     per_host = per_template.groupBy("host").agg(
         F.sum("n").alias("urls"), F.count(F.lit(1)).alias("templates")
     )
     return per_host.filter(
-        (F.expr("div(1000 * urls, templates)") >= ratio_permille)
+        (_permille("urls", "templates") >= ratio_permille)
         & (F.col("urls") >= min_urls)
     ).select("host")

@@ -132,3 +132,86 @@ def test_trap_guard_default_thresholds_spare_small_sites(spark, tmp_path):
     eng, guarded_seen = _crawl(spark, tmp_path, "guard-dflt", trap_guard=True)
     assert guarded_seen == open_seen
     assert eng.catalog.exists("trap_stats")
+
+
+def _host_counts(eng):
+    from pyspark.sql import functions as F
+
+    from crawler_service_spark.operators import traps
+
+    seen = {
+        (r["host"], r["cnt"])
+        for r in eng.catalog.read("seen")
+        .groupBy("host").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    census = {
+        (r["host"], r["cnt"])
+        for r in eng.catalog.read("trap_stats", schema=traps.TRAP_STATS_SCHEMA)
+        .groupBy("host").agg(F.sum("n").alias("cnt")).collect()
+    }
+    return seen, census
+
+
+def test_census_is_additive_incl_seeds_and_forget_expiry(spark, tmp_path):
+    """The additivity invariant: at every quiesced point, sum(trap_stats.n)
+    per host equals the seen set's distinct-URL count per host — seeds are
+    censused at iteration 0, and forget-expiry appends negative deltas for
+    the urls it removes (so fully-forgotten templates stop counting)."""
+    eng, _ = _crawl(spark, tmp_path, "inv", trap_guard=True)
+    seen, census = _host_counts(eng)
+    assert census == seen
+
+    # forget half the calendar: census totals must follow the seen set
+    forget = spark.createDataFrame(
+        [(_date_url(i),) for i in range(0, N_DATES, 2)], "url string"
+    )
+    eng.expire(forget, mode="forget")
+    seen2, census2 = _host_counts(eng)
+    assert census2 == seen2
+    assert census2 != census  # the decrement actually landed
+
+
+def test_guard_survives_mid_iteration_crash_replay(spark, tmp_path):
+    """The strict replay contract: crash BETWEEN iteration 3's data commits
+    (trap_stats delta included) and its crawl_state checkpoint; the re-run
+    of iteration 3 must read flags pinned to iteration 2 — ignoring the
+    already-committed traps-iter-3 — and converge on the uninterrupted
+    guarded crawl's exact seen set."""
+    import os
+
+    guard_kwargs = dict(trap_guard=True, trap_min_urls=8, trap_ratio_permille=3000)
+    _, full = _crawl(spark, tmp_path, "mc-full", **guard_kwargs)
+
+    pages, robots, seeds = _dfs(spark)
+    cfg = CrawlConfig(iteration_seconds=6.0, max_iterations=60, **guard_kwargs)
+    wd = tmp_path / "mc-crash"
+    eng1 = CrawlEngine(spark, pages, robots, str(wd), cfg)
+    eng1.run(seeds=seeds, max_iterations=3)
+    mdir = os.path.join(str(wd), "crawl_state", "_manifests")
+    victims = [m for m in os.listdir(mdir) if m.endswith("-state-iter-3.json")]
+    assert victims
+    for v in victims:
+        os.remove(os.path.join(mdir, v))
+
+    eng2 = CrawlEngine(spark, pages, robots, str(wd), cfg)
+    assert int(eng2.last_state()["iteration"]) == 2
+    stats = eng2.resume()
+    assert stats[-1]["status"] == "complete"
+    resumed = {r["url"] for r in eng2.catalog.read("seen").select("url").collect()}
+    assert resumed == full
+
+
+def test_trap_stats_compaction_bounds_the_chain(spark, tmp_path):
+    """frontier_compact_ratio=0 compacts every iteration: the trap_stats
+    chain folds into overwrite rollups (same commit-id convention) and the
+    guarded crawl result is unchanged."""
+    guard_kwargs = dict(trap_guard=True, trap_min_urls=8, trap_ratio_permille=3000)
+    _, plain = _crawl(spark, tmp_path, "nc", **guard_kwargs)
+    eng, compacted = _crawl(
+        spark, tmp_path, "cc", frontier_compact_ratio=0.0, **guard_kwargs
+    )
+    assert compacted == plain
+    modes = dict(eng.catalog.commit_modes("trap_stats"))
+    assert "overwrite" in modes.values()
+    seen, census = _host_counts(eng)
+    assert census == seen

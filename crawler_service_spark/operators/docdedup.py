@@ -54,26 +54,51 @@ def exact_dedup(
     )
 
 
+def _shingle_arr(n: int, text_col: str, distinct: bool):
+    """Per-row shingle-array column (all map-side; no explode, no shuffle).
+
+    ``distinct=True`` dedupes INSIDE the row with ``array_distinct`` — per-doc
+    set semantics equals the old global ``(doc_id, shingle) DISTINCT`` because
+    the key always includes doc_id, but costs zero Exchange (guide §2.4)."""
+    toks = tokens_col(text_col)
+    arr = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    if distinct:
+        arr = F.array_distinct(arr)
+    # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]); emit [] for short docs
+    return F.when(F.size(toks) >= n, arr).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(
     docs: DataFrame, n: int = 3, text_col: str = "text", distinct: bool = True
 ) -> DataFrame:
     """Word n-gram shingles per doc: (doc_id, shingle).
 
-    ``distinct=True`` gives set semantics (Jaccard); minhash passes False —
-    min over duplicates equals min over the set, and skipping the distinct
-    saves a full shuffle of the largest intermediate.
+    ``distinct=True`` gives set semantics (Jaccard), deduped map-side inside
+    each row (``array_distinct`` before the explode) — the old global
+    ``.distinct()`` paid a full shuffle of the largest intermediate for rows
+    that are already unique within their doc_id key (guide §2.4: remove
+    shuffles outright). ``minhash_signatures`` passes False — min over
+    duplicates equals min over the set.
     """
-    toks = tokens_col(text_col)
-    # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]); emit [] for short docs
-    sh = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    out = widen(docs).select("doc_id", F.explode(sh).alias("shingle"))
-    return out.distinct() if distinct else out
+    return widen(docs).select(
+        "doc_id", F.explode(_shingle_arr(n, text_col, distinct)).alias("shingle")
+    )
+
+
+def shingle_sets(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh_set): per-doc DISTINCT shingle ARRAY, entirely map-side.
+
+    The verify stages intersect these arrays per candidate pair
+    (``array_intersect``) instead of exploding and re-shuffling the whole
+    corpus' shingles on the (doc, shingle) key — the guide §8 shape: decide
+    on lightweight proxies, never move the heavy rows more than needed. At
+    10^10 docs the corpus is SCANNED per lookup side but never exchanged."""
+    return widen(docs).select(
+        "doc_id", _shingle_arr(n, text_col, True).alias("sh_set")
+    )
 
 
 def _jaccard_scored(
@@ -128,16 +153,41 @@ def ngram_jaccard_pairs(
     the unfiltered sets while intersecting the filtered ones would
     systematically underestimate Jaccard for boilerplate-heavy docs and
     silently drop true near-duplicates.)
+
+    Plan shape (round 6, guide §2.3/§2.4): the doc-frequency cut is a
+    ``count() OVER (PARTITION BY shingle)`` window on the ONE shingle-keyed
+    exchange (a hot boilerplate shingle spills in the window sort instead of
+    materializing a giant posting array), the survivors aggregate into
+    sorted per-shingle posting lists WITHOUT a second exchange (the groupBy
+    reuses the window's hash partitioning), and co-occurring pairs are
+    enumerated map-side from each posting list (ascending ids, so
+    doc_a < doc_b by construction — the old shingle self-join generated the
+    identical pair multiset through two more corpus-scale exchanges).
+    Pair fanout per shingle is bounded by max_shingle_freq^2/2, exactly as
+    the join fanout was.
     """
+    from pyspark.sql import Window
+
     sh = shingles(docs, n=n, text_col=text_col)
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sh = sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sh_count"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shf = sh.withColumn(
+        "df", F.count("*").over(Window.partitionBy("shingle"))
+    ).filter(F.col("df") <= max_shingle_freq)
+    sizes = shf.groupBy("doc_id").agg(F.count("*").alias("sh_count"))
+    posts = shf.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + 2, F.size("ds")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        posts.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
@@ -163,6 +213,16 @@ def minhash_signatures(
     Each shingle is md5-hashed ONCE (h = h32(shingle) mod p); the H functions
     are affine maps (a_i*h + b_i) mod p over that single hash — 16x fewer md5
     invocations than hashing per-function, identical math in DuckDB.
+
+    Plan-shape note (round 6): a fully map-side array formulation
+    (``array_min`` over per-doc transforms) was tried and MEASURED SLOWER
+    (~3x at sf0.1) — higher-order functions evaluate interpreted, while this
+    explode + groupBy runs in whole-stage codegen and its partial (map-side)
+    aggregation collapses the exploded shingle stream to one 16-long row per
+    doc per partition before the exchange, so the shuffle is |docs|-bounded
+    at any corpus size (guide §2.3 "aggregate before you shuffle" was
+    already satisfied; the exchange it would have removed was never the
+    corpus-scale one).
     """
     a, b = minhash_coeffs(num_hashes)
     sh = shingles(docs, n=n, text_col=text_col, distinct=False).withColumn(
@@ -245,22 +305,47 @@ def minhash_verified_pairs(
     n-gram Jaccard verifies them — the precision gate every real dedup run
     needs (ref analogue: dedup-before-work, legacy/posix_crawler.py:131).
 
-    The Jaccard intersection join runs ONLY over candidate pairs (the
-    candidate set is the probe side), so the quadratic shingle self-join of
+    The Jaccard verification runs ONLY over candidate pairs (the candidate
+    set is the probe side), so the quadratic shingle self-join of
     ngram_jaccard_pairs never happens — this is the 10^10-doc shape.
+
+    Round-6 plan shape (guide §8: decide with small rows): each side of a
+    candidate pair looks up its per-doc DISTINCT shingle ARRAY
+    (``shingle_sets`` — map-side, never exploded) and the pair scores as
+    ``size(array_intersect(sa, sb))`` with sizes from the same arrays. The
+    old formulation exploded the corpus' shingles and shuffled them on the
+    (doc, shingle) key to rebuild exactly these intersections; now the only
+    corpus-scale exchanges left are the LSH bucket join's. The candidate
+    frame is |pairs| (tiny next to the corpus), so AQE broadcast-joins it
+    against the array lookups at any realistic dup rate.
     """
     cand = minhash_lsh_pairs(docs, num_hashes=num_hashes, bands=bands, n=n, text_col=text_col)
-    sh = shingles(docs, n=n, text_col=text_col)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sh_count"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sets = shingle_sets(docs, n=n, text_col=text_col)
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sb"))
     inter = (
-        cand.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).alias("inter"),
+            F.size("sa").alias("size_a"),
+            F.size("sb").alias("size_b"),
+        )
+        # pairs sharing no shingle never materialized in the old inner
+        # intersection join — drop them before the threshold for exact
+        # equivalence at ANY threshold (including 0)
+        .filter(F.col("inter") > 0)
     )
-    return _jaccard_scored(inter, *_sizes_ab(sizes), threshold_permille)
+    return (
+        inter.select(
+            "doc_a",
+            "doc_b",
+            F.expr("div(1000 * inter, size_a + size_b - inter)").alias("jaccard_permille"),
+        )
+        .filter(F.col("jaccard_permille") >= threshold_permille)
+    )
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -515,9 +600,6 @@ def minhash_incremental_dups(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh_a = shingles(new_docs, n=n, text_col=text_col).select(
-        F.col("doc_id").alias("doc_a"), "shingle"
-    )
     # shingle ONLY the index docs that are candidates: at a 10^10-doc standing
     # corpus the verify stage must touch candidate rows, never re-tokenize the
     # whole index per batch. The candidate-id frame (one int64 per candidate,
@@ -527,18 +609,33 @@ def minhash_incremental_dups(
     if broadcast_candidates:
         cand_ids = F.broadcast(cand_ids)
     cand_index_docs = index_docs.join(cand_ids, "doc_id", "semi")
-    sh_b = shingles(cand_index_docs, n=n, text_col=text_col).select(
-        F.col("doc_id").alias("doc_b"), "shingle"
+    # verify on per-doc DISTINCT shingle ARRAYS (map-side; see
+    # minhash_verified_pairs round-6 note) — the batch/index shingle streams
+    # are never exploded or shuffled on the shingle key
+    sets_a = shingle_sets(new_docs, n=n, text_col=text_col).select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sa")
     )
-    sizes_a = sh_a.groupBy("doc_a").agg(F.count("*").alias("size_a"))
-    sizes_b = sh_b.groupBy("doc_b").agg(F.count("*").alias("size_b"))
-    inter = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    sets_b = shingle_sets(cand_index_docs, n=n, text_col=text_col).select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sb")
     )
-    verified = _jaccard_scored(inter, sizes_a, sizes_b, threshold_permille)
+    verified = (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).alias("inter"),
+            F.size("sa").alias("size_a"),
+            F.size("sb").alias("size_b"),
+        )
+        .filter(F.col("inter") > 0)  # exact twin of the old inner join
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("div(1000 * inter, size_a + size_b - inter)").alias("jaccard_permille"),
+        )
+        .filter(F.col("jaccard_permille") >= threshold_permille)
+    )
     w = Window.partitionBy("doc_a").orderBy(
         F.col("jaccard_permille").desc(), F.col("doc_b").asc()
     )

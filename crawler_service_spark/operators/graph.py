@@ -112,7 +112,11 @@ def _large_star(E: DataFrame) -> DataFrame:
         .join(mins, "a")
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
     )
-    return out.filter(F.col("a") != F.col("b")).distinct()
+    # no trailing .distinct(): the only consumer is _small_star, whose
+    # canonicalize+distinct dedups the identical rows anyway — the old
+    # distinct was one full (a, b) exchange per round for nothing
+    # (round 6, guide §2.4)
+    return out.filter(F.col("a") != F.col("b"))
 
 
 def _small_star(E: DataFrame) -> DataFrame:
@@ -182,6 +186,10 @@ def pagerank_millis(
                     + F.expr(f"div({damping_permille} * coalesce(s, 0L), 1000)")
                 ).cast("long").alias("pr_millis"),
             )
+            # per-iteration localCheckpoint stays (round 6): a lazy
+            # 3-iteration lineage was tried and measured ~30% SLOWER at
+            # sf0.1 — AQE re-plans each small checkpointed round with
+            # accurate runtime sizes, which beats one deep 6-shuffle plan.
             .localCheckpoint()
         )
     return pr
@@ -226,16 +234,24 @@ def connected_components_star(
     for _ in range(max_rounds):
         if converged:
             break
-        E = _small_star(_large_star(E)).localCheckpoint()
         # count + two xor-folded hash streams: overflow-free (ANSI mode) and
-        # sound on a distinct edge set
-        sig = tuple(
-            E.agg(
-                F.count(F.lit(1)),
-                F.expr("bit_xor(xxhash64(a, b))"),
-                F.expr("bit_xor(xxhash64(b, a))"),
-            ).collect()[0]
+        # sound on a distinct edge set. Observed ON the checkpoint
+        # materialization itself (round 6): the signature used to be a
+        # separate aggregation job per round over the just-checkpointed
+        # frame — observe() folds it into the job that writes the blocks.
+        obs = Observation()
+        E = (
+            _small_star(_large_star(E))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(a, b))").alias("s1"),
+                F.expr("bit_xor(xxhash64(b, a))").alias("s2"),
+            )
+            .localCheckpoint()
         )
+        got = obs.get
+        sig = (got["n"], got["s1"], got["s2"])
         if sig == prev_sig:
             converged = True
         prev_sig = sig

@@ -293,35 +293,78 @@ def ivf_seed_centroids(
     )
 
 
+def ivf_assign_udf(cents: list[tuple[int, list[int]]]):
+    """Arrow-batched nearest-centroid assignment: ONE exact int64 matmul per
+    batch (scores = -2 * X @ C^T + |c|^2; quantized components are ~1e3 so
+    64-dim dots stay far below 2^63). ``np.argmin`` returns the FIRST
+    minimum and the centroid rows are sorted by cid, so ties go to the
+    smaller cid — the same rule as the struct-min form this replaces.
+
+    Dirty rows (NULL / wrong-length / NULL-component vectors) assign to the
+    SMALLEST cid — exactly what the old broadcast-join argmin produced there
+    (every score NULL -> min struct = (NULL, min cid)); their NULL cosine
+    keeps them out of any top-k re-rank downstream."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents_sorted = sorted((int(c), [int(x) for x in cv]) for c, cv in cents)
+    cids = np.asarray([c for c, _ in cents_sorted], dtype=np.int64)
+    cmat = np.asarray([cv for _, cv in cents_sorted], dtype=np.int64)
+    norms = np.sum(cmat * cmat, axis=1)
+    dim = cmat.shape[1]
+
+    @pandas_udf("long")
+    def assign(qv: pd.Series) -> pd.Series:
+        rows = qv.tolist()
+        valid = [
+            i for i, r in enumerate(rows)
+            if r is not None
+            and len(r) == dim
+            and not np.isnan(np.asarray(r, dtype=np.float64)).any()
+        ]
+        out = np.full(len(rows), cids[0], dtype=np.int64)
+        if valid:
+            x = np.asarray([rows[i] for i in valid], dtype=np.int64)
+            scores = -2 * (x @ cmat.T) + norms[None, :]
+            out[np.asarray(valid)] = cids[np.argmin(scores, axis=1)]
+        return pd.Series(out)
+
+    return assign
+
+
 def ivf_assign(
     quantized: DataFrame,
     n_lists: int = 16,
     id_col: str = "vec_id",
     qv_col: str = "qv",
     centroids: DataFrame | None = None,
+    cents_rows: list[tuple[int, list[int]]] | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest centroid.
     ``centroids`` is any (cid, cv) frame — seeded (ivf_seed_centroids),
     Lloyd-refined (ann_index.ivf_refine), or read back from a persisted
-    index; default is the seed. Distance ranking uses ``-2*dot(v,c) +
-    |c|^2`` (== squared L2 up to the per-row constant |v|^2), all
-    integer-exact, ties to the smaller centroid id.
+    index; default is the seed. Callers that already hold the collected
+    centroid rows pass ``cents_rows`` to skip the control-plane collect.
+    Distance ranking uses ``-2*dot(v,c) + |c|^2`` (== squared L2 up to the
+    per-row constant |v|^2), all integer-exact, ties to the smaller
+    centroid id.
 
-    Plan: the K centroid rows broadcast; assignment is a map-side K-way
-    score + one groupBy argmin — the inverted lists then act like hash
-    buckets for query probing (ivf_topk). Returns quantized + ``list_id``.
+    Plan (round 6, guide §2.4/§4.2): assignment is a purely MAP-SIDE Arrow
+    batch matmul over the K collected centroid rows (a control-plane
+    collect, same budget as ivf_topk's probe selection) — the old shape
+    broadcast-joined the centroids into an n x K frame, argmin-aggregated
+    it back (one exchange) and equi-joined the result onto the corpus (two
+    more exchanges at 10^10 rows). Returns quantized + ``list_id`` with
+    zero shuffles.
     """
-    if centroids is None:
-        centroids = ivf_seed_centroids(quantized, n_lists, id_col, qv_col)
-    scored = quantized.join(F.broadcast(centroids))  # n x K, K tiny
-    score = (
-        F.lit(-2) * int_dot_col(F.col(qv_col), F.col("cv"))
-        + int_dot_col(F.col("cv"), F.col("cv"))
+    if cents_rows is None:
+        if centroids is None:
+            centroids = ivf_seed_centroids(quantized, n_lists, id_col, qv_col)
+        cents_rows = [
+            (int(r["cid"]), [int(x) for x in r["cv"]]) for r in centroids.collect()
+        ]
+    return quantized.withColumn(
+        "list_id", ivf_assign_udf(cents_rows)(F.col(qv_col))
     )
-    best = scored.groupBy(id_col).agg(
-        F.min(F.struct(score.alias("s"), F.col("cid").alias("cid"))).alias("b")
-    ).select(id_col, F.col("b.cid").alias("list_id"))
-    return quantized.join(best, id_col)
 
 
 def nearest_centroids_py(
@@ -358,8 +401,11 @@ def ivf_topk(
         (int(r["cid"]), [int(x) for x in r["cv"]]) for r in centroids.collect()
     ]
     probes = nearest_centroids_py(qvec, cents, n_probe)
+    # the collected rows feed probe selection AND the map-side assignment —
+    # one control-plane collect, no broadcast-join/argmin/join-back chain
     assigned = ivf_assign(
-        quantized, n_lists=n_lists, id_col=id_col, qv_col=qv_col, centroids=centroids
+        quantized, n_lists=n_lists, id_col=id_col, qv_col=qv_col,
+        cents_rows=cents,
     )
     return int_cosine_topk(
         assigned.filter(F.col("list_id").isin(probes)), qvec, k=k,

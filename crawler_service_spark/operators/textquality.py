@@ -329,7 +329,17 @@ def lm_bigram_score(
             )
         ).alias("bg"),
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    c_bg = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
+    # c(w1,w2) PINNED (localCheckpoint, round 6): it is read once to derive
+    # the c(w1) denominators and once as the join's other side, and unpinned
+    # each consumer re-ran the corpus tokenize+explode+aggregate (the
+    # before-plan scanned documents 4x here and every consumer of the score
+    # frame multiplied that). Vocab-bounded, so the pin is cheap at any
+    # corpus size.
+    c_bg = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_bg"))
+        .localCheckpoint()
+    )
     # c(w1) = sum over w2 of c(w1,w2): derived from the vocab-bounded c_bg
     # frame instead of a second corpus-scale tokenize+explode pass
     c_w1 = c_bg.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
@@ -374,8 +384,16 @@ def lm_perplexity_buckets(
     min/max lm_millis."""
     from pyspark.sql.window import Window
 
-    scored = lm_bigram_score(docs, id_col=id_col, text_col=text_col).join(
-        docs.select(id_col, lang_col), id_col
+    # the scored frame feeds the distribution rollup AND the final bucketing
+    # join; pinned (round 6) so the whole bigram-LM pipeline runs once — the
+    # before-plan re-executed it per consumer (24 documents scans in one
+    # query). |docs| x 5 narrow columns: at 10^10 docs this materialization
+    # is exactly the intermediate a real CCNet build would persist between
+    # its scoring and bucketing passes.
+    scored = (
+        lm_bigram_score(docs, id_col=id_col, text_col=text_col)
+        .join(docs.select(id_col, lang_col), id_col)
+        .localCheckpoint()
     )
     dist = scored.groupBy(lang_col, "lm_millis").agg(F.count("*").alias("c"))
     cum_w = (
@@ -383,10 +401,17 @@ def lm_perplexity_buckets(
         .orderBy(F.col("lm_millis").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = dist.withColumn("cum", F.sum("c").over(cum_w))
-    totals = dist.groupBy(lang_col).agg(F.sum("c").alias("n"))
+    # per-language total as a full-partition window over the SAME bounded
+    # dist frame (shares dist's one exchange) instead of a separate
+    # groupBy branch that re-aggregated the corpus
+    tot_w = Window.partitionBy(lang_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = dist.withColumn("cum", F.sum("c").over(cum_w)).withColumn(
+        "n", F.sum("c").over(tot_w)
+    )
     cuts = (
-        cum.join(totals, lang_col)
+        cum
         .groupBy(lang_col)
         .agg(
             F.max(
@@ -473,17 +498,21 @@ def vocab_topk(
     frame the same way — both shuffle vocab-sized frames, never the corpus;
     the final top-k is TakeOrderedAndProject (no global sort). Stopword-hot
     tokens are single reduce keys with pre-combined partials, not skew."""
+    # two-level rollup from ONE token explode (round 6, guide §2.3): the
+    # (token, doc) partial counts aggregate map-side, then one vocab-keyed
+    # shuffle derives both totals — the old plan exploded the corpus twice
+    # and paid a third full (token, doc) DISTINCT exchange plus a join to
+    # produce the same two numbers
     tok = docs.select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
     )
-    occ = tok.groupBy("token").agg(F.count("*").cast("long").alias("n_occurrences"))
-    per_doc = (
-        tok.distinct()
-        .groupBy("token")
-        .agg(F.count("*").cast("long").alias("n_docs"))
-    )
+    per_dt = tok.groupBy("token", F.col(id_col)).agg(F.count("*").alias("c"))
     return (
-        occ.join(per_doc, "token")
+        per_dt.groupBy("token")
+        .agg(
+            F.sum("c").cast("long").alias("n_occurrences"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
         .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
         .limit(k)
     )
@@ -506,23 +535,34 @@ def dup_ngram_coverage(
     shuffle back on the doc id; boilerplate mega-n-grams are single reduce
     keys with pre-combined partials. No pairwise joins anywhere — this is
     the linear-cost census, not the quadratic pair enumeration."""
+    from pyspark.sql.window import Window
+
     toks = docs.select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("t")
     ).filter(F.size("t") >= n)
     m = F.size("t") - (n - 1)
+    # per-doc DISTINCT n-grams dedupe MAP-SIDE (array_distinct before the
+    # explode — per-doc set semantics equals the old global (doc, ngram)
+    # DISTINCT because the key includes the doc id), and doc-frequency is a
+    # count() OVER (PARTITION BY ngram) window on those rows instead of a
+    # groupBy branch + join that re-evaluated the gram subtree (round 6,
+    # guide §2.4: 3 corpus-scale exchanges -> 2).
     grams = toks.select(
         id_col,
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), m),
-                lambda i: F.array_join(F.slice("t", i, n), " "),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), m),
+                    lambda i: F.array_join(F.slice("t", i, n), " "),
+                )
             )
         ).alias("ngram"),
-    ).distinct()
-    df_counts = grams.groupBy("ngram").agg(F.count("*").cast("long").alias("df"))
+    )
+    g = grams.withColumn(
+        "df", F.count("*").over(Window.partitionBy("ngram")).cast("long")
+    )
     return (
-        grams.join(df_counts, "ngram")
-        .groupBy(id_col)
+        g.groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_ngrams"),
             F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).cast("long").alias("n_dup_ngrams"),
@@ -555,70 +595,81 @@ def dup_span_scrub(
     of the scrubbed text (kept tokens joined in original order; md5('')
     for fully-boilerplate docs).
 
-    Scale shape: n-gram doc-frequency is one map-side-combinable shuffle on
-    the n-gram; duplicated positions fan out n rows per DUPLICATED n-gram
-    occurrence only (the census path stays 1 row per distinct gram); the
-    position-set union is a DISTINCT on the uniform (doc, pos) key; the
-    final verdict is one (doc, pos)-keyed join of the token stream against
-    the covered set and one rollup shuffle on doc_id. Everything is linear
-    in corpus size — no pairwise joins; a white-hot boilerplate n-gram
-    costs its occurrence count times n, not occurrences squared.
+    Scale shape (round 6, guide §2.3/§2.4/§8): n-gram doc-frequency is a
+    window on the ONE ngram-keyed exchange over per-doc-distinct grams;
+    each doc's set of globally-duplicated grams rolls up to ONE array row
+    (bounded by the doc's own gram count), joins back on the uniform doc
+    key, and the position-set union + scrub verdict run entirely MAP-SIDE
+    as array ops over the token array. The old plan exploded every
+    duplicated gram occurrence n ways and shuffled/distinct-ed/joined at
+    (doc, pos) grain — token-level exchanges that dwarfed the corpus; now
+    no exchange ever carries more than one row per (doc, gram). Still no
+    pairwise joins anywhere.
     """
+    from pyspark.sql.window import Window
+
     toks = (
         widen(docs)
         .select(F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("t"))
         .filter(F.size("t") >= 1)
     )
     m = F.size("t") - (n - 1)
-    grams = toks.filter(F.size("t") >= n).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), m),
-                lambda i: F.array_join(F.slice("t", i, n), " "),
-            )
-        ).alias("p0", "ngram"),
-    ).select("doc_id", (F.col("p0") + 1).alias("i"), "ngram")
-    df_counts = (
-        grams.select("doc_id", "ngram")
-        .distinct()
-        .groupBy("ngram")
-        .agg(F.count("*").cast("long").alias("df"))
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.array_join(F.slice("t", i, n), " "),
     )
-    covered = (
-        grams.join(df_counts.filter(F.col("df") > 1), "ngram")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("pos"),
-        )
-        .distinct()
-        .withColumn("is_dup", F.lit(True))
+    dist = toks.filter(F.size("t") >= n).select(
+        "doc_id", F.explode(F.array_distinct(gram_arr)).alias("ngram")
     )
-    tok_stream = toks.select(
-        "doc_id", F.posexplode("t").alias("p0", "token")
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "token")
-    kept_struct = F.when(
-        F.col("is_dup").isNull(), F.struct("pos", "token")
-    )
-    return (
-        tok_stream.join(covered, ["doc_id", "pos"], "left")
+    dup_sets = (
+        dist.withColumn("df", F.count("*").over(Window.partitionBy("ngram")))
+        .filter(F.col("df") > 1)
         .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_kept"),
-            F.array_sort(F.collect_list(kept_struct)).alias("kept"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            "n_kept",
-            F.expr("div(1000 * n_kept, n_tokens)").alias("kept_permille"),
-            F.md5(
-                F.concat_ws(" ", F.transform(F.col("kept"), lambda s: s["token"]))
-            ).alias("scrubbed_md5"),
-        )
+        .agg(F.collect_set("ngram").alias("dups"))
+    )
+    j = toks.join(dup_sets, "doc_id", "left")
+    flagged = j.select(
+        "doc_id",
+        "t",
+        F.when(
+            (F.size("t") >= n) & F.col("dups").isNotNull(),
+            F.transform(gram_arr, lambda g: F.array_contains(F.col("dups"), g)),
+        ).otherwise(F.array().cast("array<boolean>")).alias("flags"),
+    )
+    # a token at position p (1-based) is scrubbed iff some flagged gram
+    # START lies in [p-n+1, p] — the same sliding-window union the old
+    # position explode materialized row-wise
+    p_lo = lambda p: F.greatest(F.lit(1), p - (n - 1))  # noqa: E731
+    p_hi = lambda p: F.least(p, F.size("flags"))  # noqa: E731
+    kept_col = F.filter(
+        "t",
+        lambda tok, i: ~F.coalesce(
+            F.exists(
+                F.slice(
+                    "flags",
+                    p_lo(i + 1),
+                    F.greatest(p_hi(i + 1) - p_lo(i + 1) + 1, F.lit(0)),
+                ),
+                lambda f: f,
+            ),
+            F.lit(False),
+        ),
+    )
+    staged = flagged.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        kept_col.alias("kept"),
+        # second `flags` reference on purpose: CollapseProject inlines a
+        # single-use alias, and an inlined flag array would be re-evaluated
+        # once per token inside the filter lambda above
+        F.size("flags").alias("__flags_guard"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        F.size("kept").cast("long").alias("n_kept"),
+        F.expr("div(1000 * size(kept), n_tokens)").alias("kept_permille"),
+        F.md5(F.concat_ws(" ", F.col("kept"))).alias("scrubbed_md5"),
     )
 
 
@@ -659,13 +710,26 @@ def tfidf_topk(
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    df_frame = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    # df = count() OVER (PARTITION BY term) on the tf frame itself (round 6,
+    # guide §2.4): the old groupBy-term branch + tf⋈idf join re-evaluated the
+    # tf subtree and paid an extra term-keyed exchange to attach a number
+    # that is a plain window over the same rows. A stopword-hot term is one
+    # window partition with pre-sorted spill, same as its reduce key before.
     n_docs = toks.agg(F.count("*").cast("long").alias("n_docs"))
-    idf = df_frame.join(F.broadcast(n_docs)).select(
-        "term", F.expr("div(1000 * (n_docs - df + 1), df + 1)").alias("idf_millis")
-    )
-    scored = tf.join(idf, "term").select(
-        "doc_id", "term", "tf", (F.col("tf") * F.col("idf_millis")).alias("tfidf_millis")
+    scored = (
+        tf.withColumn(
+            "df", F.count("*").over(Window.partitionBy("term")).cast("long")
+        )
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * F.expr("div(1000 * (n_docs - df + 1), df + 1)")
+            ).alias("tfidf_millis"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf_millis").desc(), F.col("tf").desc(), F.col("term").asc()
@@ -785,9 +849,17 @@ def nb_classify(
     tok_stream = toks.select(
         "doc_id", "label", F.explode("t").alias("token")
     )
-    # model: sparse (token, label) counts, per-label token totals, vocab size
-    tl = tok_stream.groupBy("token", F.col("label").alias("l")).agg(
-        F.count("*").cast("long").alias("c_tl")
+    # model: sparse (token, label) counts, per-label token totals, vocab size.
+    # tl is PINNED (localCheckpoint): it seeds l_tot, vocab AND weights, and
+    # without the pin every downstream branch re-executed the corpus
+    # tokenize+explode+aggregate — the before-plan re-scanned the documents
+    # parquet 22 times for one query (round 6, guide §5: materialize a
+    # reused, vocab-bounded intermediate once). Same at 10^10 docs: tl is
+    # |vocab x labels|, the cheapest thing in the plan to pin.
+    tl = (
+        tok_stream.groupBy("token", F.col("label").alias("l"))
+        .agg(F.count("*").cast("long").alias("c_tl"))
+        .localCheckpoint()
     )
     l_tot = tl.groupBy("l").agg(F.sum("c_tl").cast("long").alias("c_l"))
     vocab = tl.select("token").distinct().agg(
@@ -798,6 +870,9 @@ def nb_classify(
         .agg(F.count("*").cast("long").alias("docs_l"))
         .join(F.broadcast(toks.agg(F.count("*").cast("long").alias("docs_all"))))
     )
+    # |labels|-row frame consumed by weights AND the scoring join: pinned so
+    # its priors branch does not drag two more corpus scans into every
+    # consumer (the scans that remain are the two real passes: train + score)
     label_consts = (
         l_tot.join(F.broadcast(vocab))
         .join(priors, "l")

@@ -282,7 +282,14 @@ def minhash_lsh_pairs(
     cardinality, skew-free — which is what makes this the 10^10-doc path
     (vs the all-pairs join above).
     """
-    buckets = minhash_buckets(docs, num_hashes=num_hashes, bands=bands, n=n, text_col=text_col)
+    # pin the bucket frame: the self-join's two sides otherwise each re-run
+    # the whole tokenize+shingle+signature pipeline over the corpus (no
+    # exchange reuse across the two aggregation chains). |docs| x bands rows
+    # of (long, int, string) — the same frame a deployment persists as the
+    # standing minhash index (see minhash_incremental_dups).
+    buckets = minhash_buckets(
+        docs, num_hashes=num_hashes, bands=bands, n=n, text_col=text_col
+    ).localCheckpoint()
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     return (
@@ -594,11 +601,14 @@ def minhash_incremental_dups(
         index_buckets = minhash_buckets(
             index_docs, num_hashes=num_hashes, bands=bands, n=n, text_col=text_col
         )
+    # pinned: ``cand`` feeds both the candidate-id semi join and the verify
+    # join — unpinned, the batch x index bucket join ran twice (round 6)
     cand = (
         bn.select(F.col("doc_id").alias("doc_a"), "band", "sig")
         .join(index_buckets.select(F.col("doc_id").alias("doc_b"), "band", "sig"), ["band", "sig"])
         .select("doc_a", "doc_b")
         .distinct()
+        .localCheckpoint()
     )
     # shingle ONLY the index docs that are candidates: at a 10^10-doc standing
     # corpus the verify stage must touch candidate rows, never re-tokenize the

@@ -503,7 +503,14 @@ def lsh_neardup_pairs(
     bounds the join.
     """
     planes = int_planes(dim, n_planes)
-    buckets = lsh_band_buckets(quantized, planes, band_bits, id_col=id_col, qv_col=qv_col)
+    # pin the bucket frame: the self-join's two sides otherwise each run the
+    # Arrow bucket-assignment pass over the corpus (two MapInPandas nodes in
+    # the before-plan — no ReusedExchange across the Python boundary). The
+    # materialized frame is 3 longs per (vector, band): exactly what
+    # ann_index.build_lsh_index persists as the production index.
+    buckets = lsh_band_buckets(
+        quantized, planes, band_bits, id_col=id_col, qv_col=qv_col
+    ).localCheckpoint()
     a = buckets.select(F.col("id").alias("id_a"), "band", "key")
     b = buckets.select(F.col("id").alias("id_b"), "band", "key")
     cand = (

@@ -205,9 +205,15 @@ def connected_components_star(
     rounds regardless of diameter (the label-prop twin above is O(diameter)).
 
     Convergence: at the fixpoint the edge set is a star forest (every edge
-    points child -> component-min), detected by an edge-set signature
-    (count + xxhash64 sum — collision odds are ~n/2^64, and a false stop
-    would still require the NEXT round to be a no-op on a star forest).
+    points child -> component-min). Detected two ways, cheapest first
+    (round 6): a direct star-forest test on the fresh edge set — no node is
+    both a child and a parent, and no child has two parents — fires the
+    round the forest FORMS (one small grouped job over the checkpointed
+    frame), where the edge-set signature (count + xxhash64 sum, kept as the
+    safety net; collision odds ~n/2^64, and a false stop would still
+    require the next round to be a no-op) needs one more full star round
+    just to observe that nothing changed. Near-dup graphs converge in 1-2
+    rounds, so skipping the confirmation round is a ~33-50% cut.
     """
     # materialize the (possibly expensive) edge lineage ONCE — nodes and E
     # both derive from this frame, so e.g. an LSH-verified-pairs input is
@@ -255,6 +261,21 @@ def connected_components_star(
         if sig == prev_sig:
             converged = True
         prev_sig = sig
+        if not converged:
+            roles = (
+                E.select(F.col("a").alias("node"), F.lit(1).alias("c"), F.lit(0).alias("p"))
+                .union(E.select(F.col("b"), F.lit(0), F.lit(1)))
+                .groupBy("node")
+                .agg(
+                    F.sum("c").alias("n_parents"),
+                    F.max("c").alias("is_child"),
+                    F.max("p").alias("is_parent"),
+                )
+            )
+            converged = roles.filter(
+                (F.col("n_parents") > 1)
+                | ((F.col("is_child") == 1) & (F.col("is_parent") == 1))
+            ).isEmpty()
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_rounds} rounds"

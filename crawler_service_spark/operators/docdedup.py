@@ -323,15 +323,21 @@ def minhash_verified_pairs(
     old formulation exploded the corpus' shingles and shuffled them on the
     (doc, shingle) key to rebuild exactly these intersections; now the only
     corpus-scale exchanges left are the LSH bucket join's. The candidate
-    frame is |pairs| (tiny next to the corpus), so AQE broadcast-joins it
-    against the array lookups at any realistic dup rate.
+    side carries an EXPLICIT broadcast hint: candidates are |pairs|-bounded
+    (tiny next to the corpus) while the shingle-set side is the corpus —
+    left to size estimates, the planner was observed broadcasting the
+    corpus' shingle arrays instead, which is slow here and an OOM at
+    10^10 docs. A degenerate corpus whose bucket co-occupancy makes the
+    candidate set itself corpus-sized should pre-split its buckets (the
+    same regime minhash_incremental_dups' broadcast_candidates=False
+    escape hatch covers).
     """
     cand = minhash_lsh_pairs(docs, num_hashes=num_hashes, bands=bands, n=n, text_col=text_col)
     sets = shingle_sets(docs, n=n, text_col=text_col)
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sa"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sb"))
     inter = (
-        cand.join(sa, "doc_a")
+        F.broadcast(F.broadcast(cand).join(sa, "doc_a"))
         .join(sb, "doc_b")
         .select(
             "doc_a",
@@ -628,8 +634,15 @@ def minhash_incremental_dups(
     sets_b = shingle_sets(cand_index_docs, n=n, text_col=text_col).select(
         F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sb")
     )
+    # same explicit build-side pin as minhash_verified_pairs: the candidate
+    # pair frame broadcasts, the batch/index shingle-set sides stream —
+    # honoring the caller's broadcast_candidates escape hatch
+    cand_b = F.broadcast(cand) if broadcast_candidates else cand
+    enriched = cand_b.join(sets_a, "doc_a")
+    if broadcast_candidates:
+        enriched = F.broadcast(enriched)
     verified = (
-        cand.join(sets_a, "doc_a")
+        enriched
         .join(sets_b, "doc_b")
         .select(
             "doc_a",

@@ -521,6 +521,13 @@ def lsh_neardup_pairs(
     )
     qa = quantized.select(F.col(id_col).alias("id_a"), F.col(qv_col).alias("qa"))
     qb = quantized.select(F.col(id_col).alias("id_b"), F.col(qv_col).alias("qb"))
+    # NO broadcast hint here on purpose (round 6 negative result): with the
+    # registered weak-threshold 2-bit bands the candidate set is ~n²/2
+    # (1.78M pairs from 2k vectors at sf0.1) — hinting the candidate side,
+    # as the minhash verify does, broadcast ~1 GB of enriched pairs and ran
+    # 8x slower. Size estimates / AQE pick the correct side in both
+    # regimes: small corpus (broadcast vectors) and production 8-16 bit
+    # bands at scale (runtime-sized candidate side broadcasts).
     return (
         cand.join(qa, "id_a")
         .join(qb, "id_b")

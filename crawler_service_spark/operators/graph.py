@@ -377,6 +377,10 @@ def triangle_counts(
     Output: (v, degree, n_triangles) for every vertex, n_triangles = 0
     rows included.
     """
+    # pinned (round 6): the canonical edge set feeds the degree rollup, the
+    # orientation join AND the wedge-closure join — three consumers that
+    # each re-ran the upstream canonicalize+distinct (and whatever join
+    # produced the input edges) when left lazy
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -384,6 +388,7 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.explode(F.array("a", "b")).alias("v"))

@@ -230,13 +230,17 @@ def connected_components_star(
         .union(edges0.select(F.col("b").alias("node")))
         .distinct()
     )
+    obs0 = Observation()
     E = (
         edges0.filter(F.col("a") != F.col("b"))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
     prev_sig = None
-    converged = E.isEmpty()
+    # emptiness observed on the checkpoint job itself (round 6) — the old
+    # isEmpty() was a separate job per CC invocation
+    converged = int(obs0.get["n"] or 0) == 0
     for _ in range(max_rounds):
         if converged:
             break

@@ -871,8 +871,9 @@ def nb_classify(
         .join(F.broadcast(toks.agg(F.count("*").cast("long").alias("docs_all"))))
     )
     # |labels|-row frame consumed by weights AND the scoring join: pinned so
-    # its priors branch does not drag two more corpus scans into every
-    # consumer (the scans that remain are the two real passes: train + score)
+    # its priors branch (two corpus scans) does not re-run per consumer.
+    # Locally the pin measures within noise of lazy; at corpus scale it is
+    # the difference between 2 and 4 extra full passes, so the pin stays.
     label_consts = (
         l_tot.join(F.broadcast(vocab))
         .join(priors, "l")
@@ -882,6 +883,7 @@ def nb_classify(
             F.expr(f"div({NB_SCALE} * docs_l, docs_all)").alias("prior"),
             (F.col("c_l") + F.col("v")).alias("denom"),
         )
+        .localCheckpoint()
     )
     weights = tl.join(F.broadcast(label_consts.select("l", "denom")), "l").select(
         "token",

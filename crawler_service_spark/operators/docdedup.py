@@ -506,19 +506,20 @@ def minhash_dup_ids(
     similarity.semantic_dup_ids, shaped for composing into a corpus build
     as an anti-join. Docs in no cluster never appear, so the frame is
     |near-dup non-keepers|, not |corpus| — broadcastable at realistic dup
-    rates."""
-    from .graph import connected_components_star
+    rates.
+
+    Round 6: reads the converged star forest's CHILDREN directly
+    (graph.star_forest_children) — the full (node, component) labeling was
+    built and then filtered back down to exactly this set."""
+    from .graph import star_forest_children
 
     pairs = minhash_verified_pairs(
         docs, num_hashes=num_hashes, bands=bands, n=n,
         threshold_permille=threshold_permille, text_col=text_col,
     )
-    cc = connected_components_star(
+    return star_forest_children(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
-    return cc.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias("doc_id")
-    )
+    ).select(F.col("node").alias("doc_id"))
 
 
 def minhash_cluster_histogram(

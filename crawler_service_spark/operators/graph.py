@@ -215,6 +215,45 @@ def connected_components_star(
     just to observe that nothing changed. Near-dup graphs converge in 1-2
     rounds, so skipping the confirmation round is a ~33-50% cut.
     """
+    edges0, E = _star_forest(edges, src=src, dst=dst, max_rounds=max_rounds)
+    nodes = (
+        edges0.select(F.col("a").alias("node"))
+        .union(edges0.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    comp = E.groupBy("a").agg(F.min("b").alias("component"))
+    return nodes.join(
+        comp.select(F.col("a").alias("node"), "component"), on="node", how="left"
+    ).select("node", F.coalesce("component", "node").alias("component"))
+
+
+def star_forest_children(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """One ``node`` column: every node that is NOT its component's minimum —
+    i.e. the drop list a dedup pass anti-joins with. In the converged star
+    forest every edge points child -> component-min, so the children ARE
+    the non-keepers; building the full (node, component) labeling (node
+    universe + left join + component rollup, the tail of
+    ``connected_components_star``) just to filter ``node != component``
+    was three extra passes for the same set (round 6)."""
+    _, E = _star_forest(edges, src=src, dst=dst, max_rounds=max_rounds)
+    return E.select(F.col("a").alias("node")).distinct()
+
+
+def _star_forest(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared large-star/small-star loop: returns (edges0, E) where edges0
+    is the pinned NULL-filtered input (the node universe's source) and E
+    the converged star-forest edge set (child -> component-min, no self
+    loops). See connected_components_star for the convergence contract."""
     # materialize the (possibly expensive) edge lineage ONCE — nodes and E
     # both derive from this frame, so e.g. an LSH-verified-pairs input is
     # computed a single time, not once per consumer. NULL-endpoint rows
@@ -224,11 +263,6 @@ def connected_components_star(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .localCheckpoint()
-    )
-    nodes = (
-        edges0.select(F.col("a").alias("node"))
-        .union(edges0.select(F.col("b").alias("node")))
-        .distinct()
     )
     obs0 = Observation()
     E = (
@@ -284,10 +318,7 @@ def connected_components_star(
         raise RuntimeError(
             f"connected_components_star did not converge in {max_rounds} rounds"
         )
-    comp = E.groupBy("a").agg(F.min("b").alias("component"))
-    return nodes.join(
-        comp.select(F.col("a").alias("node"), "component"), on="node", how="left"
-    ).select("node", F.coalesce("component", "node").alias("component"))
+    return edges0, E
 
 
 def resolve_redirects(

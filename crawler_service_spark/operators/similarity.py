@@ -556,19 +556,20 @@ def semantic_dup_ids(
     Output: one ``{id_col}`` column of ids to DROP. Docs in no cluster never
     appear (they survive implicitly), so at 10^10 docs this frame is
     |semantic duplicates|, not |corpus| — the anti-join's right side stays
-    small and broadcastable at realistic dup rates."""
+    small and broadcastable at realistic dup rates.
+
+    Round 6: reads the converged star forest's CHILDREN directly
+    (graph.star_forest_children) instead of building the full labeling and
+    filtering it back down to the same set."""
     pairs = lsh_neardup_pairs(
         quantized, dim=dim, dot_threshold=dot_threshold,
         n_planes=n_planes, band_bits=band_bits, id_col=id_col, qv_col=qv_col,
     )
-    from .graph import connected_components_star
+    from .graph import star_forest_children
 
-    cc = connected_components_star(
+    return star_forest_children(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
-    return cc.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col)
-    )
+    ).select(F.col("node").alias(id_col))
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:

@@ -849,6 +849,15 @@ def nb_classify(
     tok_stream = toks.select(
         "doc_id", "label", F.explode("t").alias("token")
     )
+    # per-doc metadata: |docs| rows x 3 narrow columns, pinned ONCE — priors
+    # (docs per label + corpus total) and the scoring pass's doc lengths all
+    # derive from it, and each used to re-run the full corpus
+    # tokenize+explode subtree instead (round 6, guide §5: 5 corpus tokenize
+    # passes per invocation -> 3). At 10^10 docs this is a ~24-byte/doc
+    # side table versus two extra full text passes.
+    doc_meta = toks.select(
+        "doc_id", "label", F.size("t").cast("long").alias("n_tokens")
+    ).localCheckpoint()
     # model: sparse (token, label) counts, per-label token totals, vocab size.
     # tl is PINNED (localCheckpoint): it seeds l_tot, vocab AND weights, and
     # without the pin every downstream branch re-executed the corpus
@@ -866,9 +875,9 @@ def nb_classify(
         F.count("*").cast("long").alias("v")
     )
     priors = (
-        toks.groupBy(F.col("label").alias("l"))
+        doc_meta.groupBy(F.col("label").alias("l"))
         .agg(F.count("*").cast("long").alias("docs_l"))
-        .join(F.broadcast(toks.agg(F.count("*").cast("long").alias("docs_all"))))
+        .join(F.broadcast(doc_meta.agg(F.count("*").cast("long").alias("docs_all"))))
     )
     # |labels|-row frame consumed by weights AND the scoring join: pinned so
     # its priors branch (two corpus scans) does not re-run per consumer.
@@ -899,7 +908,7 @@ def nb_classify(
             F.count("*").cast("long").alias("n_matched"),
         )
     )
-    doc_len = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    doc_len = doc_meta.select("doc_id", "n_tokens")
     scored = (
         doc_len.join(F.broadcast(label_consts.select("l", "w0", "prior")))
         .join(matched, ["doc_id", "l"], "left")

@@ -239,8 +239,15 @@ def star_forest_children(
     the non-keepers; building the full (node, component) labeling (node
     universe + left join + component rollup, the tail of
     ``connected_components_star``) just to filter ``node != component``
-    was three extra passes for the same set (round 6)."""
-    _, E = _star_forest(edges, src=src, dst=dst, max_rounds=max_rounds)
+    was three extra passes for the same set (round 6).
+
+    ``pin_input=False``: the node universe is never read here, so the
+    input-edge pin exists only to feed E's construction once — which the
+    E checkpoint itself already guarantees. Skipping it drops one
+    |pairs|-sized checkpoint write+read per drop-list build (round 6)."""
+    _, E = _star_forest(
+        edges, src=src, dst=dst, max_rounds=max_rounds, pin_input=False
+    )
     return E.select(F.col("a").alias("node")).distinct()
 
 
@@ -249,21 +256,28 @@ def _star_forest(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 50,
+    pin_input: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared large-star/small-star loop: returns (edges0, E) where edges0
-    is the pinned NULL-filtered input (the node universe's source) and E
-    the converged star-forest edge set (child -> component-min, no self
-    loops). See connected_components_star for the convergence contract."""
-    # materialize the (possibly expensive) edge lineage ONCE — nodes and E
-    # both derive from this frame, so e.g. an LSH-verified-pairs input is
-    # computed a single time, not once per consumer. NULL-endpoint rows
-    # are dirty (they identify no node) and dropped whole, the same
-    # contract as the label-prop twin and asof_join.
+    is the NULL-filtered input (the node universe's source) and E the
+    converged star-forest edge set (child -> component-min, no self
+    loops). See connected_components_star for the convergence contract.
+
+    ``pin_input``: checkpoint the filtered input before deriving E. Needed
+    whenever the CALLER also consumes edges0 (connected_components_star
+    reads it for the node universe — without the pin the expensive edge
+    lineage, e.g. LSH-verified pairs, would run once per consumer).
+    Callers that only read E (star_forest_children) pass False: E's own
+    checkpoint already bounds the lineage to one execution, so the extra
+    pin is a wasted |pairs| write+read (round 6)."""
+    # NULL-endpoint rows are dirty (they identify no node) and dropped
+    # whole, the same contract as the label-prop twin and asof_join.
     edges0 = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .localCheckpoint()
     )
+    if pin_input:
+        edges0 = edges0.localCheckpoint()
     obs0 = Observation()
     E = (
         edges0.filter(F.col("a") != F.col("b"))

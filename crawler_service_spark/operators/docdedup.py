@@ -469,9 +469,15 @@ def minhash_dup_clusters(
         docs, num_hashes=num_hashes, bands=bands, n=n,
         threshold_permille=threshold_permille, text_col=text_col,
     )
-    from .graph import connected_components_star
+    # star_forest_labels, not connected_components_star (round 6): the
+    # n_docs > 1 filter below discards singleton components, which are the
+    # only rows the full labeling (input pin + node universe + component
+    # rollup + left join) adds over reading (child -> min, min -> min)
+    # straight off the converged forest. Verified pairs have doc_a < doc_b,
+    # so no self-loop-only nodes exist here at all.
+    from .graph import star_forest_labels
 
-    cc = connected_components_star(
+    cc = star_forest_labels(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
     return (

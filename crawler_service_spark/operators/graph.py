@@ -251,6 +251,32 @@ def star_forest_children(
     return E.select(F.col("a").alias("node")).distinct()
 
 
+def star_forest_labels(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(node, component) for every node of a NON-SINGLETON component, read
+    straight off the converged star forest: each edge is child ->
+    component-min, so children label as (a, b) and the parents (the minima
+    themselves) as (b, b). Callers that roll up multi-member clusters
+    (minhash_dup_clusters) never see singleton components anyway, so the
+    full ``connected_components_star`` tail — input pin for the node
+    universe, union+distinct over both endpoints, component rollup and a
+    left join back — was three extra corpus-of-pairs passes spent
+    re-deriving rows the forest already holds (round 6). Self-loop-only
+    nodes (singletons) are the ONLY rows the full labeling adds."""
+    _, E = _star_forest(
+        edges, src=src, dst=dst, max_rounds=max_rounds, pin_input=False
+    )
+    return (
+        E.select(F.col("a").alias("node"), F.col("b").alias("component"))
+        .union(E.select(F.col("b").alias("node"), F.col("b").alias("component")))
+        .distinct()
+    )
+
+
 def _star_forest(
     edges: DataFrame,
     src: str = "src",

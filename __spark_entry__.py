@@ -614,7 +614,6 @@ def _training_mix_gated(spark, sf):
     d = _t(spark, sf, "documents")
     corpus = d.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
     bench = d.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
-    g = textquality.gopher_quality(corpus).select("doc_id", "gopher_pass")
     keepers = docdedup.exact_dedup(corpus).select(
         F.col("keep_doc_id").alias("doc_id")
     )
@@ -625,8 +624,13 @@ def _training_mix_gated(spark, sf):
         .filter(~F.col("contaminated"))
         .select("doc_id")
     )
+    # gopher_quality is map-only, so its `keep` hook threads the corpus
+    # columns the mix needs straight through the gate — the old
+    # corpus ⋈ gate equi-join re-scanned the corpus and paid two
+    # corpus-scale exchanges + a sort to reattach columns the gate's own
+    # scan already had in hand (round 6, guide §2.4)
     return (
-        corpus.join(g, "doc_id")
+        textquality.gopher_quality(corpus, keep=("lang", "source", "text"))
         .filter(F.col("gopher_pass"))
         .join(keepers, "doc_id", "semi")
         .join(clean, "doc_id", "semi")

@@ -578,13 +578,15 @@ def _pipeline_retention_funnel(spark, sf):
     quality gates -> survive exact dedup (first-occurrence keeper) ->
     retained (both). The composition every corpus build runs end-to-end."""
     d = _t(spark, sf, "documents")
-    g = textquality.gopher_quality(d).select("doc_id", "gopher_pass")
     keepers = docdedup.exact_dedup(d).select(
         F.col("keep_doc_id").alias("doc_id"), F.lit(True).alias("is_unique")
     )
+    # keep-through instead of a corpus ⋈ gate join-back, as in
+    # _training_mix_gated (round 6): the gate is map-only, so `source`
+    # rides along and the doc_id equi-join (two corpus exchanges) goes away
     j = (
-        d.select("doc_id", "source")
-        .join(g, "doc_id")
+        textquality.gopher_quality(d, keep=("source",))
+        .select("doc_id", "source", "gopher_pass")
         .join(keepers, "doc_id", "left")
         .select(
             "source",

@@ -151,3 +151,45 @@ def test_dup_span_scrub_edge_cases(spark):
     # its unique prefix/suffix tokens survive in original order
     assert out[4]["n_tokens"] == 11 and out[4]["n_kept"] == 4
     assert out[4]["scrubbed_md5"] == md5("u1 u2 u3 u4")
+
+
+def test_star_forest_labels_match_full_cc_on_multi_member_components(spark):
+    """star_forest_labels (child -> min, min -> min read off the converged
+    forest) must equal connected_components_star restricted to components
+    with more than one member — on a graph that needs multiple star rounds
+    (a path), plus a separate pair, an isolated self-loop node and NULL
+    edge rows (dropped whole by both)."""
+    from crawler_service_spark.operators.graph import (
+        connected_components_star,
+        star_forest_labels,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            # a 6-node path: deep enough that the forest takes >1 round
+            (10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+            # an ordinary pair
+            (30, 31),
+            # a self-loop only node: singleton component in the full
+            # labeling, absent from the forest labels
+            (40, 40),
+            # dirty rows: dropped whole by both paths
+            (None, 50), (51, None),
+        ],
+        "src long, dst long",
+    )
+    full = {
+        (r["node"], r["component"])
+        for r in connected_components_star(edges).collect()
+    }
+    forest = {
+        (r["node"], r["component"]) for r in star_forest_labels(edges).collect()
+    }
+    comp_sizes: dict[int, int] = {}
+    for _, c in full:
+        comp_sizes[c] = comp_sizes.get(c, 0) + 1
+    multi = {(n, c) for n, c in full if comp_sizes[c] > 1}
+    assert forest == multi
+    assert forest == {(n, 10) for n in range(10, 16)} | {(30, 30), (31, 30)}
+    # the singleton (self-loop node) is exactly what the forest view drops
+    assert (40, 40) in full and all(n != 40 for n, _ in forest)

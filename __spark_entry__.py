@@ -208,15 +208,20 @@ def _u3_except(spark, sf):
     return a.exceptAll(b)
 
 
-def _c1_extension_class(spark, sf):
-    d = _t(spark, sf, "documents")
-    fname = F.concat(
+def _synth_fname() -> F.Column:
+    """Deterministic synthetic filename for the documents fixture — shared
+    by the c1/f4/a1 queries so the expression stays identical everywhere."""
+    return F.concat(
         F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"),
         F.when(F.col("doc_id") % 3 == 0, ".txt")
         .when(F.col("doc_id") % 3 == 1, ".csv")
         .otherwise(""),
     )
-    named = d.select("doc_id", fname.alias("fname"))
+
+
+def _c1_extension_class(spark, sf):
+    d = _t(spark, sf, "documents")
+    named = d.select("doc_id", _synth_fname().alias("fname"))
     return named.select(
         "doc_id",
         extension_col("fname").alias("ext"),
@@ -230,13 +235,7 @@ def _f4_ftp_dir_guess(spark, sf):
     from crawler_service_spark.functions.urls import ftp_dir_guess_col
 
     named = _t(spark, sf, "documents").select(
-        "doc_id",
-        F.concat(
-            F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"),
-            F.when(F.col("doc_id") % 3 == 0, ".txt")
-            .when(F.col("doc_id") % 3 == 1, ".csv")
-            .otherwise(""),
-        ).alias("fname"),
+        "doc_id", _synth_fname().alias("fname")
     )
     return (
         named.select(ftp_dir_guess_col("fname").alias("is_dir_guess"))
@@ -288,10 +287,16 @@ def _g4_family_envelope(spark, sf):
 def _a1_class_tally(spark, sf):
     """A1+A2: count + byte tally per file class (reference tallies/size_tallies,
     crawlers/globus_base_preserved.py:43-44,327-346)."""
-    named = _c1_extension_class(spark, sf)
-    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    # file_class is a pure map over the same scan that holds n_chars, so
+    # derive both in ONE pass — the old reuse of _c1_extension_class paid a
+    # corpus self-join on doc_id just to reattach n_chars (round 6, same
+    # keep-through shape as the Gopher-gate change)
+    d = _t(spark, sf, "documents")
     return (
-        named.join(d, "doc_id")
+        d.select(
+            ext_class_col(extension_col(_synth_fname())).alias("file_class"),
+            "n_chars",
+        )
         .groupBy("file_class")
         .agg(
             F.count("*").alias("n_files"),

@@ -469,12 +469,15 @@ def minhash_dup_clusters(
         docs, num_hashes=num_hashes, bands=bands, n=n,
         threshold_permille=threshold_permille, text_col=text_col,
     )
-    # star_forest_labels, not connected_components_star (round 6): the
-    # n_docs > 1 filter below discards singleton components, which are the
-    # only rows the full labeling (input pin + node universe + component
-    # rollup + left join) adds over reading (child -> min, min -> min)
-    # straight off the converged forest. Verified pairs have doc_a < doc_b,
-    # so no self-loop-only nodes exist here at all.
+    # star_forest_labels, not connected_components_star (round 6):
+    # singleton components are the only rows the full labeling (input pin +
+    # node universe + component rollup + left join) adds over reading
+    # (child -> min, min -> min) straight off the converged forest, and
+    # they cannot occur here anyway — verified pairs have doc_a < doc_b,
+    # so no self-loop-only nodes exist. The n_members > 1 filter below is
+    # therefore never the thing excluding singletons on this path; it
+    # stays to pin the multi-member contract against a future change of
+    # labeling source.
     from .graph import star_forest_labels
 
     cc = star_forest_labels(

@@ -270,10 +270,13 @@ def star_forest_labels(
     _, E = _star_forest(
         edges, src=src, dst=dst, max_rounds=max_rounds, pin_input=False
     )
-    return (
-        E.select(F.col("a").alias("node"), F.col("b").alias("component"))
-        .union(E.select(F.col("b").alias("node"), F.col("b").alias("component")))
-        .distinct()
+    # only the parent half needs a distinct: the child rows (a, b) are
+    # already unique (E is distinct and, at convergence, each child has
+    # exactly one parent) and disjoint from the parent rows (no node is
+    # both child and parent), so deduping before the union shuffles
+    # |E| parent rows instead of the whole 2|E| labeling
+    return E.select(F.col("a").alias("node"), F.col("b").alias("component")).union(
+        E.select(F.col("b").alias("node"), F.col("b").alias("component")).distinct()
     )
 
 
